@@ -1,0 +1,148 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dregnerf_tpu.geometry import se3, kabsch, rotation, cameras
+
+
+def random_pose(rng):
+    from scipy.spatial.transform import Rotation as R
+
+    rot = R.random(random_state=int(rng.integers(1 << 30))).as_matrix()
+    t = rng.normal(size=3)
+    return jnp.asarray(np.concatenate([rot, t[:, None]], axis=1), dtype=jnp.float32)
+
+
+class TestSE3:
+    def test_cat_inv_roundtrip(self, rng):
+        a, b = random_pose(rng), random_pose(rng)
+        ab = se3.se3_cat(a, b)
+        ident = se3.se3_cat(ab, se3.se3_inv(ab))
+        np.testing.assert_allclose(ident, se3.se3_identity(), atol=1e-5)
+
+    def test_transform_matches_matmul(self, rng):
+        pose = random_pose(rng)
+        pts = jnp.asarray(rng.normal(size=(10, 3)), dtype=jnp.float32)
+        out = se3.se3_transform(pose, pts)
+        expected = pts @ np.asarray(pose[:3, :3]).T + np.asarray(pose[:3, 3])
+        np.testing.assert_allclose(out, expected, atol=1e-5)
+
+    def test_exp_log_roundtrip(self, rng):
+        omega = jnp.asarray(rng.normal(size=3) * 0.5, dtype=jnp.float32)
+        rot = se3.so3_exp(omega)
+        # valid rotation
+        np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-5)
+        np.testing.assert_allclose(np.linalg.det(rot), 1.0, atol=1e-5)
+        back = se3.so3_log(rot)
+        np.testing.assert_allclose(back, omega, atol=1e-4)
+
+    def test_rotation_distance(self, rng):
+        r = se3.so3_exp(jnp.array([0.0, 0.0, np.pi / 6]))
+        d = se3.rotation_distance_deg(jnp.eye(3), r)
+        np.testing.assert_allclose(d, 30.0, atol=1e-3)
+
+    def test_se3_exp_identity(self):
+        pose = se3.se3_exp(jnp.zeros(6))
+        np.testing.assert_allclose(pose, se3.se3_identity(), atol=1e-5)
+
+    def test_homogeneous_roundtrip(self, rng):
+        pose = random_pose(rng)
+        h = se3.to_homogeneous(pose)
+        assert h.shape == (4, 4)
+        np.testing.assert_allclose(h[3], [0, 0, 0, 1])
+        np.testing.assert_allclose(se3.from_homogeneous(h), pose)
+
+
+class TestKabsch:
+    def test_exact_recovery(self, rng):
+        pose = random_pose(rng)
+        a = jnp.asarray(rng.normal(size=(50, 3)), dtype=jnp.float32)
+        b = se3.se3_transform(pose, a)
+        w = jnp.ones(50)
+        est = kabsch.weighted_rigid_transform(a, b, w)
+        np.testing.assert_allclose(est, pose, atol=1e-4)
+
+    def test_weights_ignore_outliers(self, rng):
+        pose = random_pose(rng)
+        a = jnp.asarray(rng.normal(size=(50, 3)), dtype=jnp.float32)
+        b = se3.se3_transform(pose, a)
+        b = b.at[:10].add(jnp.asarray(rng.normal(size=(10, 3)) * 5, jnp.float32))
+        w = jnp.ones(50).at[:10].set(0.0)
+        est = kabsch.weighted_rigid_transform(a, b, w)
+        np.testing.assert_allclose(est, pose, atol=1e-3)
+
+    def test_differentiable(self, rng):
+        a = jnp.asarray(rng.normal(size=(20, 3)), dtype=jnp.float32)
+        b = jnp.asarray(rng.normal(size=(20, 3)), dtype=jnp.float32)
+
+        def loss(w):
+            t = kabsch.weighted_rigid_transform(a, b, w)
+            return jnp.sum(t**2)
+
+        g = jax.grad(loss)(jnp.ones(20))
+        assert np.all(np.isfinite(g))
+
+    def test_degenerate_weights_finite(self, rng):
+        a = jnp.asarray(rng.normal(size=(20, 3)), dtype=jnp.float32)
+        b = jnp.asarray(rng.normal(size=(20, 3)), dtype=jnp.float32)
+        t = kabsch.weighted_rigid_transform(a, b, jnp.zeros(20))
+        assert np.all(np.isfinite(t))
+
+    def test_batched(self, rng):
+        poses = jnp.stack([random_pose(rng) for _ in range(4)])
+        a = jnp.asarray(rng.normal(size=(4, 30, 3)), dtype=jnp.float32)
+        b = se3.se3_transform(poses, a)
+        est = kabsch.weighted_rigid_transform(a, b, jnp.ones((4, 30)))
+        np.testing.assert_allclose(est, poses, atol=1e-3)
+
+    def test_umeyama_scale(self, rng):
+        pose = random_pose(rng)
+        a = rng.normal(size=(40, 3)).astype(np.float32)
+        b = 2.5 * a @ np.asarray(pose[:3, :3]).T + np.asarray(pose[:3, 3])
+        s, r, t = kabsch.umeyama(jnp.asarray(a), jnp.asarray(b))
+        np.testing.assert_allclose(s, 2.5, atol=1e-3)
+        np.testing.assert_allclose(r, pose[:3, :3], atol=1e-3)
+
+
+class TestRotation:
+    def test_quat_matrix_roundtrip(self, rng):
+        q = rng.normal(size=(8, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        q *= np.where(q[:, :1] < 0, -1.0, 1.0)
+        m = rotation.quat_to_matrix(jnp.asarray(q))
+        q2 = rotation.matrix_to_quat(m)
+        np.testing.assert_allclose(q2, q, atol=1e-4)
+
+    def test_euler_identity(self):
+        m = rotation.euler_to_matrix(jnp.zeros(3))
+        np.testing.assert_allclose(m, np.eye(3), atol=1e-6)
+
+
+class TestCameras:
+    def test_ray_aabb(self):
+        origins = jnp.array([[0.0, 0.0, -5.0], [10.0, 10.0, 10.0]])
+        dirs = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+        aabb = jnp.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+        tmin, tmax = cameras.ray_aabb_intersect(origins, dirs, aabb)
+        np.testing.assert_allclose(tmin[0], 4.0, atol=1e-5)
+        np.testing.assert_allclose(tmax[0], 6.0, atol=1e-5)
+        assert tmin[1] > tmax[1]  # miss
+
+    def test_opengl_center_ray(self):
+        K = jnp.array([[100.0, 0, 50], [0, 100.0, 50], [0, 0, 1]])
+        c2w = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+        r = cameras.rays_from_pixels(
+            jnp.array([49.5]), jnp.array([49.5]), K, c2w, opengl=True
+        )
+        np.testing.assert_allclose(r.viewdirs[0], [0, 0, -1.0], atol=1e-5)
+
+    def test_unit_norm(self, rng):
+        K = jnp.array([[100.0, 0, 64], [0, 100.0, 64], [0, 0, 1]])
+        c2w = jnp.concatenate([jnp.eye(3), jnp.ones((3, 1))], axis=1)
+        x = jnp.asarray(rng.integers(0, 128, size=32))
+        y = jnp.asarray(rng.integers(0, 128, size=32))
+        r = cameras.rays_from_pixels(x, y, K, c2w)
+        np.testing.assert_allclose(
+            jnp.linalg.norm(r.viewdirs, axis=-1), np.ones(32), atol=1e-5
+        )
