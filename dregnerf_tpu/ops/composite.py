@@ -1,0 +1,119 @@
+"""Transmittance and volumetric compositing over packed samples.
+
+TPU-native replacement for nerfacc's CUB inclusive-scan transmittance and
+CUDA `rendering` composite (reference conerf/utils/nerfacc_utils.py:16-80
+`render_transmittance`; conerf/utils/utils.py:123-130).
+
+With samples packed ray-major and depth-ordered (ops/ray_march.py), the
+per-ray exclusive product of (1 - alpha) becomes one global `cumsum` of
+log(1 - alpha) re-based at each ray's first sample — an O(B) scan with two
+gathers, no ragged segments. Composites are `segment_sum`s keyed by ray_id
+with one overflow segment for padding.
+
+All math f32: transmittance in bf16 loses background rays.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dregnerf_tpu.ops.ray_march import PackedSamples
+
+
+class RenderOutput(NamedTuple):
+    rgb: jnp.ndarray  # [R, 3]
+    opacity: jnp.ndarray  # [R]
+    depth: jnp.ndarray  # [R]
+    weights: jnp.ndarray  # [B] per-sample composite weights (T * alpha)
+    transmittance: jnp.ndarray  # [B]
+    alphas: jnp.ndarray  # [B]
+
+
+def packed_alphas(packed: PackedSamples, sigmas: jnp.ndarray) -> jnp.ndarray:
+    """alpha_i = 1 - exp(-sigma_i * dt_i); zero on padding."""
+    dt = packed.t_end - packed.t_start
+    alpha = 1.0 - jnp.exp(-sigmas.reshape(-1).astype(jnp.float32) * dt)
+    return jnp.where(packed.valid, alpha, 0.0)
+
+
+def packed_transmittance(packed: PackedSamples, alphas: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive per-ray transmittance T_i = prod_{j<i, same ray} (1 - a_j).
+
+    Invalid entries carry alpha=0 (log-term 0) so they don't perturb the scan.
+    """
+    log_1ma = jnp.log(jnp.clip(1.0 - alphas, 1e-10, 1.0))
+    csum = jnp.cumsum(log_1ma)
+    excl = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum[:-1]])  # [B]
+
+    # re-base at each ray's first packed sample: ray_start[r] = first index
+    # of ray r = exclusive cumsum of per-ray counts (packing is ray-major).
+    counts = jax.ops.segment_sum(
+        packed.valid.astype(jnp.int32), packed.ray_id, num_segments=packed.num_rays + 1
+    )[: packed.num_rays]
+    ray_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    base_at_start = excl[jnp.clip(ray_start, 0, excl.shape[0] - 1)]  # [R]
+    safe_ray = jnp.minimum(packed.ray_id, packed.num_rays - 1)
+    base = base_at_start[safe_ray]
+
+    trans = jnp.exp(excl - base)
+    return jnp.where(packed.valid, trans, 0.0)
+
+
+def composite(
+    packed: PackedSamples,
+    rgbs: jnp.ndarray,
+    sigmas: jnp.ndarray,
+    background: jnp.ndarray | None = None,
+) -> RenderOutput:
+    """Weighted composite of packed per-sample rgb/sigma into per-ray outputs.
+
+    Args:
+      rgbs: [B, 3]; sigmas: [B] or [B, 1].
+      background: [3] or [R, 3] color composited behind (1 - opacity).
+    """
+    alphas = packed_alphas(packed, sigmas)
+    trans = packed_transmittance(packed, alphas)
+    weights = alphas * trans  # [B]
+
+    n_seg = packed.num_rays + 1
+    rgb = jax.ops.segment_sum(
+        weights[:, None] * rgbs.astype(jnp.float32), packed.ray_id, num_segments=n_seg
+    )[: packed.num_rays]
+    opacity = jax.ops.segment_sum(weights, packed.ray_id, num_segments=n_seg)[
+        : packed.num_rays
+    ]
+    t_mid = (packed.t_start + packed.t_end) * 0.5
+    depth = jax.ops.segment_sum(weights * t_mid, packed.ray_id, num_segments=n_seg)[
+        : packed.num_rays
+    ]
+
+    if background is not None:
+        rgb = rgb + (1.0 - opacity)[:, None] * background
+    return RenderOutput(
+        rgb=rgb,
+        opacity=opacity,
+        depth=depth,
+        weights=weights,
+        transmittance=trans,
+        alphas=alphas,
+    )
+
+
+def surface_field_per_ray(packed: PackedSamples, sigmas: jnp.ndarray) -> jnp.ndarray:
+    """Per-ray surface field S = max_i (T_i * alpha_i).
+
+    Replaces torch_scatter.scatter_max of the reference surface pass
+    (conerf/register/sample_grid.py:307-313, conerf/loss/
+    confidence_loss.py:140-150) with jax.ops.segment_max.
+    """
+    alphas = packed_alphas(packed, sigmas)
+    trans = packed_transmittance(packed, alphas)
+    s = alphas * trans
+    out = jax.ops.segment_max(s, packed.ray_id, num_segments=packed.num_rays + 1)[
+        : packed.num_rays
+    ]
+    return jnp.maximum(out, 0.0)  # segment_max returns -inf for empty rays

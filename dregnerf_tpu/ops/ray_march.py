@@ -1,0 +1,142 @@
+"""Static-shape packed ray marching with occupancy-grid skipping.
+
+TPU-native replacement for nerfacc's CUDA `_C.ray_marching` + the
+reference's custom per-ray-t_max fork (conerf/utils/nerfacc_utils.py:84-222).
+
+Design (SURVEY.md §7 step 3): nerfacc emits ragged per-ray sample lists; XLA
+needs static shapes. We therefore:
+
+  1. generate a dense [R, S] candidate-sample lattice along each ray
+     (S = ceil(aabb diagonal / step) — same fixed step count the reference
+     derives from `render_step_size`, train_ngp_nerf.py:88-92);
+  2. mask candidates by occupancy-grid lookup (a cheap gather — no MLP);
+  3. compact surviving samples into ONE packed buffer of static capacity B
+     shared by the whole ray batch (B plays the role of the reference's
+     2^18 samples-per-step budget, train_ngp_nerf.py:107-132) via a
+     cumsum-scatter. Row-major flattening keeps samples grouped by ray and
+     ordered by depth, which the transmittance scan relies on.
+
+The field MLP then runs once on the packed [B, 3] positions — a dense,
+MXU-shaped batch — instead of on ragged per-ray lists.
+
+Per-ray `t_max` (march exactly from camera to a query point — the surface
+field of sample_grid.py / confidence_loss.py) is the same kernel with the
+far plane overridden per ray.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dregnerf_tpu.geometry.cameras import ray_aabb_intersect
+from dregnerf_tpu.ops.contraction import contract
+from dregnerf_tpu.ops.occupancy import OccupancyGrid, query_binary
+
+
+class PackedSamples(NamedTuple):
+    """A fixed-capacity packed sample buffer.
+
+    Entries beyond the live count have valid=False and ray_id == num_rays
+    (an overflow segment dropped by the compositor).
+    """
+
+    ray_id: jnp.ndarray  # [B] int32, == num_rays for padding
+    t_start: jnp.ndarray  # [B] f32
+    t_end: jnp.ndarray  # [B] f32
+    valid: jnp.ndarray  # [B] bool
+    num_samples: jnp.ndarray  # [] int32 — live entries (host reads for dynamic batching)
+    num_rays: int
+
+
+def march_rays(
+    origins: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    grid: OccupancyGrid,
+    aabb: jnp.ndarray,
+    contraction: str,
+    render_step_size: float,
+    buffer_size: int,
+    max_steps: int,
+    near_plane: float = 0.0,
+    far_plane: float = 1e10,
+    t_max: jnp.ndarray | None = None,
+    stratified: bool = False,
+    key: jax.Array | None = None,
+) -> PackedSamples:
+    """March rays through the occupancy grid into a packed sample buffer.
+
+    Args:
+      origins, viewdirs: [R, 3].
+      aabb: [6] world-space bounds of the (contracted) grid.
+      contraction: "aabb" | "un_bounded_sphere".
+      render_step_size: world-space step dt.
+      buffer_size: static packed capacity B.
+      max_steps: static candidate steps per ray S.
+      t_max: optional [R] per-ray far override (surface-field marching).
+      stratified: jitter the first sample offset per ray (training).
+    """
+    num_rays = origins.shape[0]
+
+    t_lo, t_hi = ray_aabb_intersect(origins, viewdirs, aabb, near_plane, far_plane)
+    if t_max is not None:
+        t_hi = jnp.minimum(t_hi, t_max)
+
+    if stratified:
+        assert key is not None, "stratified marching needs a PRNG key"
+        jitter = jax.random.uniform(key, (num_rays, 1))
+    else:
+        jitter = jnp.zeros((num_rays, 1))
+
+    steps = jnp.arange(max_steps, dtype=jnp.float32)[None, :]  # [1, S]
+    ts = t_lo[:, None] + (steps + jitter) * render_step_size  # [R, S]
+    t0 = ts
+    t1 = ts + render_step_size
+    t_mid = (t0 + t1) * 0.5
+
+    pos = origins[:, None, :] + viewdirs[:, None, :] * t_mid[..., None]  # [R, S, 3]
+    u = contract(pos, aabb, contraction)
+    occupied = query_binary(grid, u)  # [R, S]
+    alive = (t_mid < t_hi[:, None]) & (t_lo[:, None] < t_hi[:, None])
+    mask = occupied & alive  # [R, S]
+
+    # --- compaction: cumsum-scatter into the packed buffer -----------------
+    flat_mask = mask.reshape(-1)
+    flat_ray = jnp.broadcast_to(
+        jnp.arange(num_rays, dtype=jnp.int32)[:, None], mask.shape
+    ).reshape(-1)
+    flat_t0 = t0.reshape(-1)
+    flat_t1 = t1.reshape(-1)
+
+    slot = jnp.cumsum(flat_mask) - 1  # destination index per surviving sample
+    num_samples = jnp.sum(flat_mask).astype(jnp.int32)
+    # overflow beyond B and masked-out entries both land on index B (dropped)
+    dest = jnp.where(flat_mask & (slot < buffer_size), slot, buffer_size)
+
+    ray_id = (
+        jnp.full((buffer_size + 1,), num_rays, jnp.int32).at[dest].set(flat_ray)
+    )[:buffer_size]
+    ts0 = jnp.zeros((buffer_size + 1,), jnp.float32).at[dest].set(flat_t0)[:buffer_size]
+    ts1 = jnp.zeros((buffer_size + 1,), jnp.float32).at[dest].set(flat_t1)[:buffer_size]
+    valid = jnp.zeros((buffer_size + 1,), bool).at[dest].set(flat_mask)[:buffer_size]
+
+    return PackedSamples(
+        ray_id=ray_id,
+        t_start=ts0,
+        t_end=ts1,
+        valid=valid,
+        num_samples=jnp.minimum(num_samples, buffer_size),
+        num_rays=num_rays,
+    )
+
+
+def sample_positions(
+    packed: PackedSamples, origins: jnp.ndarray, viewdirs: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Packed sample world positions + their ray directions: ([B, 3], [B, 3])."""
+    safe_ray = jnp.minimum(packed.ray_id, packed.num_rays - 1)
+    o = origins[safe_ray]
+    d = viewdirs[safe_ray]
+    t_mid = (packed.t_start + packed.t_end) * 0.5
+    return o + d * t_mid[:, None], d

@@ -1,0 +1,119 @@
+"""Volume rendering driver: field + occupancy grid + marcher + compositor.
+
+Equivalent of the reference's `render_image` (conerf/utils/utils.py:44-142)
+re-architected for XLA: a single jitted function renders one static-size ray
+bucket through the packed-sample pipeline; full images are rendered by
+scanning over fixed-size chunks (the reference's `test_chunk_size=8192`
+chunking, conerf/utils/config.py:66-68), so there is exactly one compiled
+program regardless of image size.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from dregnerf_tpu.models import ngp
+from dregnerf_tpu.ops.composite import RenderOutput, composite
+from dregnerf_tpu.ops.occupancy import OccupancyGrid
+from dregnerf_tpu.ops.ray_march import march_rays, sample_positions
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    contraction: str = "aabb"
+    render_step_size: float = 5.1e-3
+    buffer_size: int = 1 << 18
+    max_steps: int = 1024
+    near_plane: float = 0.0
+    far_plane: float = 1e10
+    chunk_size: int = 8192
+
+
+def render_rays(
+    params: Any,
+    model_config: ngp.NGPConfig,
+    grid: OccupancyGrid,
+    origins: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    aabb: jnp.ndarray,
+    config: RenderConfig,
+    background: jnp.ndarray | None = None,
+    stratified: bool = False,
+    key: jax.Array | None = None,
+    t_max: jnp.ndarray | None = None,
+) -> tuple[RenderOutput, jnp.ndarray]:
+    """Render one ray bucket. Returns (RenderOutput, n_rendering_samples).
+
+    Single-pass: density + color are queried together on the packed buffer
+    (the reference's two-pass sigma_fn/rgb_sigma_fn split exists to feed
+    nerfacc's CUDA visibility filter; on TPU one fused batch is cheaper
+    than re-querying the hash grid).
+    """
+    packed = march_rays(
+        origins,
+        viewdirs,
+        grid,
+        aabb,
+        config.contraction,
+        config.render_step_size,
+        config.buffer_size,
+        config.max_steps,
+        config.near_plane,
+        config.far_plane,
+        t_max=t_max,
+        stratified=stratified,
+        key=key,
+    )
+    positions, dirs = sample_positions(packed, origins, viewdirs)
+    rgbs, sigmas = ngp.forward(params, positions, dirs, aabb, model_config)
+    sigmas = jnp.where(packed.valid, sigmas.reshape(-1), 0.0)
+    out = composite(packed, rgbs, sigmas, background=background)
+    return out, packed.num_samples
+
+
+def render_image_chunked(
+    params: Any,
+    model_config: ngp.NGPConfig,
+    grid: OccupancyGrid,
+    origins: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    aabb: jnp.ndarray,
+    config: RenderConfig,
+    background: jnp.ndarray,
+    eval_buffer_size: int | None = None,
+):
+    """Render [N, 3] rays (a full flattened image) in fixed-size chunks.
+
+    Rays are padded to a multiple of chunk_size; chunks are processed with
+    lax.map so the program compiles once.
+    """
+    n = origins.shape[0]
+    cs = config.chunk_size
+    buf = eval_buffer_size or config.buffer_size
+    n_chunks = -(-n // cs)
+    pad = n_chunks * cs - n
+    o = jnp.concatenate([origins, jnp.zeros((pad, 3), origins.dtype)])
+    d = jnp.concatenate(
+        [viewdirs, jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (pad, 1))]
+    )
+    o = o.reshape(n_chunks, cs, 3)
+    d = d.reshape(n_chunks, cs, 3)
+
+    chunk_cfg = dataclasses.replace(config, buffer_size=buf)
+
+    def one_chunk(args):
+        oc, dc = args
+        out, _ = render_rays(
+            params, model_config, grid, oc, dc, aabb, chunk_cfg, background
+        )
+        return out.rgb, out.opacity, out.depth
+
+    rgb, opacity, depth = jax.lax.map(one_chunk, (o, d))
+    return (
+        rgb.reshape(-1, 3)[:n],
+        opacity.reshape(-1)[:n],
+        depth.reshape(-1)[:n],
+    )

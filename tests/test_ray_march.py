@@ -1,0 +1,243 @@
+"""Ray marching + compositing tests against a dense brute-force reference.
+
+SURVEY.md §7 'hard parts': wrong masking silently skews transmittance — so
+the packed pipeline is validated numerically against an unmasked dense
+renderer on analytic density fields.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dregnerf_tpu.ops import occupancy
+from dregnerf_tpu.ops.composite import composite, surface_field_per_ray
+from dregnerf_tpu.ops.ray_march import march_rays, sample_positions
+
+AABB = jnp.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+
+
+def full_grid(res=32):
+    g = occupancy.init_grid(res)
+    return g._replace(binary=jnp.ones((res,) * 3, bool))
+
+
+def sphere_sigma(x, radius=0.5, value=20.0):
+    """Constant density inside a centered sphere."""
+    inside = jnp.linalg.norm(x, axis=-1) < radius
+    return jnp.where(inside, value, 0.0)
+
+
+def brute_force_render(origins, viewdirs, sigma_fn, rgb_fn, t_lo, t_hi, n=2048):
+    """Dense uniform quadrature renderer (numpy reference semantics)."""
+    ts = np.linspace(0, 1, n + 1)
+    outs_rgb, outs_op, outs_depth = [], [], []
+    for o, d, a, b in zip(origins, viewdirs, t_lo, t_hi):
+        if b <= a:
+            outs_rgb.append(np.zeros(3))
+            outs_op.append(0.0)
+            outs_depth.append(0.0)
+            continue
+        t0 = a + ts[:-1] * (b - a)
+        t1 = a + ts[1:] * (b - a)
+        tm = (t0 + t1) / 2
+        x = np.asarray(o)[None] + np.asarray(d)[None] * tm[:, None]
+        sigma = np.asarray(sigma_fn(jnp.asarray(x)))
+        rgb = np.asarray(rgb_fn(jnp.asarray(x)))
+        dt = t1 - t0
+        alpha = 1 - np.exp(-sigma * dt)
+        trans = np.concatenate([[1.0], np.cumprod(1 - alpha)[:-1]])
+        w = alpha * trans
+        outs_rgb.append((w[:, None] * rgb).sum(0))
+        outs_op.append(w.sum())
+        outs_depth.append((w * tm).sum())
+    return np.stack(outs_rgb), np.array(outs_op), np.array(outs_depth)
+
+
+@pytest.fixture
+def rays():
+    # rays entering the box from z=-3 towards +z through different offsets
+    xs = np.linspace(-0.8, 0.8, 7)
+    origins = jnp.asarray([[x, 0.1, -3.0] for x in xs], dtype=jnp.float32)
+    viewdirs = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (len(xs), 1))
+    return origins, viewdirs
+
+
+class TestMarching:
+    def test_samples_inside_aabb_and_ordered(self, rays):
+        o, d = rays
+        packed = march_rays(o, d, full_grid(), AABB, "aabb", 0.01, 4096, 512)
+        pos, _ = sample_positions(packed, o, d)
+        pos = np.asarray(pos)[np.asarray(packed.valid)]
+        assert (np.abs(pos) <= 1.0 + 1e-4).all()
+        # ray-major + depth-ordered packing
+        rid = np.asarray(packed.ray_id)[np.asarray(packed.valid)]
+        ts = np.asarray(packed.t_start)[np.asarray(packed.valid)]
+        assert (np.diff(rid) >= 0).all()
+        for r in np.unique(rid):
+            assert (np.diff(ts[rid == r]) > 0).all()
+
+    def test_empty_grid_no_samples(self, rays):
+        o, d = rays
+        packed = march_rays(o, d, occupancy.init_grid(16), AABB, "aabb", 0.01, 1024, 512)
+        assert int(packed.num_samples) == 0
+        assert not bool(packed.valid.any())
+
+    def test_occupancy_skipping(self, rays):
+        """Only the occupied octant should produce samples."""
+        o, d = rays
+        res = 16
+        binary = jnp.zeros((res,) * 3, bool).at[: res // 2].set(True)  # x < 0 half
+        g = occupancy.init_grid(res)._replace(binary=binary)
+        packed = march_rays(o, d, g, AABB, "aabb", 0.01, 4096, 512)
+        pos, _ = sample_positions(packed, o, d)
+        pos = np.asarray(pos)[np.asarray(packed.valid)]
+        assert pos.shape[0] > 0
+        assert (pos[:, 0] <= 0.0 + 1e-2).all()
+
+    def test_buffer_overflow_truncates_gracefully(self, rays):
+        o, d = rays
+        packed = march_rays(o, d, full_grid(), AABB, "aabb", 0.01, 64, 512)
+        assert int(packed.num_samples) == 64  # capped
+        assert bool(packed.valid.all())
+
+    def test_t_max_override(self, rays):
+        o, d = rays
+        t_max = jnp.full((o.shape[0],), 2.5)  # stop at z = -0.5
+        packed = march_rays(
+            o, d, full_grid(), AABB, "aabb", 0.01, 4096, 512, t_max=t_max
+        )
+        ts = np.asarray(packed.t_start)[np.asarray(packed.valid)]
+        assert ts.max() <= 2.5 + 0.011
+
+
+class TestCompositing:
+    def test_matches_brute_force_sphere(self, rays):
+        o, d = rays
+        dt = 2.0 * np.sqrt(3) / 1024
+        packed = march_rays(o, d, full_grid(64), AABB, "aabb", dt, 1 << 15, 2048)
+        pos, _ = sample_positions(packed, o, d)
+        sigmas = jnp.where(packed.valid, sphere_sigma(pos), 0.0)
+        rgb_fn = lambda x: jnp.clip(x * 0.5 + 0.5, 0, 1)
+        rgbs = rgb_fn(pos)
+        out = composite(packed, rgbs, sigmas)
+
+        from dregnerf_tpu.geometry.cameras import ray_aabb_intersect
+
+        t_lo, t_hi = ray_aabb_intersect(o, d, AABB)
+        ref_rgb, ref_op, ref_depth = brute_force_render(
+            np.asarray(o), np.asarray(d), sphere_sigma, rgb_fn,
+            np.asarray(t_lo), np.asarray(t_hi), n=4096,
+        )
+        np.testing.assert_allclose(out.rgb, ref_rgb, atol=2e-2)
+        np.testing.assert_allclose(out.opacity, ref_op, atol=2e-2)
+        np.testing.assert_allclose(out.depth, ref_depth, atol=3e-2)
+
+    def test_opaque_wall_opacity_one(self):
+        o = jnp.array([[0.0, 0.0, -3.0]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        packed = march_rays(o, d, full_grid(), AABB, "aabb", 0.005, 2048, 1024)
+        pos, _ = sample_positions(packed, o, d)
+        sigmas = jnp.where(packed.valid, 1e4, 0.0)
+        out = composite(packed, jnp.ones((2048, 3)), sigmas)
+        np.testing.assert_allclose(out.opacity, 1.0, atol=1e-4)
+        np.testing.assert_allclose(out.rgb[0], [1.0, 1.0, 1.0], atol=1e-4)
+        # depth = first hit (front of box)
+        np.testing.assert_allclose(out.depth[0], 2.0, atol=0.02)
+
+    def test_background_composited(self):
+        o = jnp.array([[0.0, 0.0, -3.0]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        packed = march_rays(o, d, occupancy.init_grid(8), AABB, "aabb", 0.01, 256, 512)
+        out = composite(
+            packed, jnp.zeros((256, 3)), jnp.zeros(256), background=jnp.ones(3)
+        )
+        np.testing.assert_allclose(out.rgb[0], [1.0, 1.0, 1.0])
+
+    def test_two_rays_independent_transmittance(self):
+        """Transmittance must re-base per ray: a dense ray must not dim the next."""
+        o = jnp.array([[0.0, 0.0, -3.0], [0.3, 0.0, -3.0]])
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (2, 1))
+        packed = march_rays(o, d, full_grid(), AABB, "aabb", 0.01, 2048, 512)
+        sigmas = jnp.where(
+            packed.valid & (packed.ray_id == 0), 1e4, jnp.where(packed.valid, 1.0, 0.0)
+        )
+        out = composite(packed, jnp.ones((2048, 3)), sigmas)
+        # ray 1 transmittance must start at 1 regardless of opaque ray 0
+        trans1 = np.asarray(out.transmittance)[np.asarray(packed.ray_id) == 1]
+        assert trans1.size > 0
+        np.testing.assert_allclose(trans1[0], 1.0, atol=1e-5)
+
+    def test_surface_field(self):
+        o = jnp.array([[0.0, 0.0, -3.0]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        packed = march_rays(o, d, full_grid(), AABB, "aabb", 0.01, 2048, 512)
+        pos, _ = sample_positions(packed, o, d)
+        sigmas = jnp.where(packed.valid, sphere_sigma(pos, value=200.0), 0.0)
+        s = surface_field_per_ray(packed, sigmas)
+        assert s.shape == (1,)
+        assert 0.5 < float(s[0]) <= 1.0  # hard surface -> S near 1
+
+    def test_empty_ray_surface_field_zero(self):
+        o = jnp.array([[0.0, 0.0, -3.0]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        packed = march_rays(o, d, occupancy.init_grid(8), AABB, "aabb", 0.01, 64, 128)
+        s = surface_field_per_ray(packed, jnp.zeros(64))
+        np.testing.assert_allclose(s, 0.0)
+
+
+class TestOccupancyUpdate:
+    def test_update_marks_dense_region(self, key):
+        g = occupancy.init_grid(16)
+
+        def occ_fn(u):
+            # occupied where contracted x < 0.5
+            return jnp.where(u[..., 0] < 0.5, 1.0, 0.0)
+
+        g = occupancy.update_grid(g, key, occ_fn, warmup=True)
+        b = np.asarray(g.binary)
+        assert b[:7].all()
+        assert not b[9:].any()
+
+    def test_ema_decay_clears_stale(self, key):
+        g = occupancy.init_grid(8)
+        hot = lambda u: jnp.ones(u.shape[:-1])
+        cold = lambda u: jnp.zeros(u.shape[:-1])
+        g = occupancy.update_grid(g, key, hot, warmup=True)
+        assert np.asarray(g.binary).all()
+        for i in range(300):
+            g = occupancy.update_grid(g, jax.random.fold_in(key, i), cold, warmup=True)
+        assert not np.asarray(g.binary).any()
+
+    def test_sampled_update_static_shape(self, key):
+        g = occupancy.init_grid(16)
+        fn = lambda u: jnp.ones(u.shape[:-1])
+        g = occupancy.update_grid(g, key, fn, warmup=True)
+        jitted = jax.jit(
+            lambda g, k: occupancy.update_grid(g, k, fn, warmup=False, n_samples=128)
+        )
+        g2 = jitted(g, key)
+        assert g2.occs.shape == g.occs.shape
+
+
+class TestRenderer:
+    def test_render_rays_and_chunked_agree(self, key):
+        from dregnerf_tpu.models import ngp as ngp_mod
+        from dregnerf_tpu.render.renderer import RenderConfig, render_rays, render_image_chunked
+        from dregnerf_tpu.ops.hash_encoding import HashGridConfig
+
+        cfg = ngp_mod.NGPConfig(
+            grid=HashGridConfig(n_levels=2, log2_table_size=8),
+            compute_dtype=jnp.float32,
+        )
+        params = ngp_mod.init_ngp(key, cfg)
+        rcfg = RenderConfig(
+            render_step_size=0.05, buffer_size=4096, max_steps=128, chunk_size=8
+        )
+        aabb = AABB
+        g = full_grid(8)
+        o = jnp.tile(jnp.array([[0.0, 0.0, -3.0]]), (20, 1))
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (20, 1))
+        bg = jnp.ones(3)
+        out, n = render_rays(params, cfg, g, o, d, aabb, rcfg, background=bg)
+        rgb2, op2, _ = render_image_chunked(params, cfg, g, o, d, aabb, rcfg, bg)
+        np.testing.assert_allclose(out.rgb, rgb2, atol=1e-5)
