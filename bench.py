@@ -1,0 +1,93 @@
+"""Benchmark: NGP rendering throughput (rays/s and samples/s) on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline context (BASELINE.md): the reference publishes no numbers; the
+north star is rays/sec/chip on NGP rendering vs an A100 tcnn/nerfacc stack
+(~1e9 samples/s class). vs_baseline here is measured samples/s divided by
+a 1e8 samples/s reference-class floor for a single mid-range GPU; it will
+be recalibrated as real reference numbers are recorded.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+# A100-class nerfacc+tcnn render throughput floor used for vs_baseline.
+BASELINE_SAMPLES_PER_S = 1e8
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/dregnerf_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from dregnerf_tpu.models import ngp
+    from dregnerf_tpu.ops import occupancy
+    from dregnerf_tpu.render.renderer import RenderConfig, render_rays
+
+    cfg = ngp.NGPConfig()  # full instant-ngp sizing, bf16 compute
+    key = jax.random.PRNGKey(0)
+    params = ngp.init_ngp(key, cfg)
+    aabb = jnp.array([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5])
+    # half-occupied grid: realistic skip pattern
+    binary = (
+        jax.random.uniform(jax.random.PRNGKey(1), (128, 128, 128)) < 0.25
+    )
+    grid = occupancy.init_grid(128)._replace(binary=binary)
+    rcfg = RenderConfig(
+        render_step_size=float(3.0 * 3**0.5 / 1024),
+        buffer_size=1 << 18,
+        max_steps=1024,
+    )
+
+    num_rays = 4096
+    k1, k2 = jax.random.split(key)
+    origins = jax.random.uniform(k1, (num_rays, 3), minval=-3.0, maxval=-2.0)
+    viewdirs = -origins / jnp.linalg.norm(origins, axis=-1, keepdims=True)
+
+    @jax.jit
+    def render(params, origins, viewdirs):
+        out, aux = render_rays(
+            params, cfg, grid, origins, viewdirs, aabb, rcfg,
+            background=jnp.ones(3),
+        )
+        return out.rgb, aux["n_samples"]
+
+    rgb, n = render(params, origins, viewdirs)
+    jax.block_until_ready(rgb)
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        rgb, n = render(params, origins, viewdirs)
+    jax.block_until_ready(rgb)
+    dt = (time.time() - t0) / iters
+
+    n_samples = int(n)
+    samples_per_s = n_samples / dt
+    print(
+        json.dumps(
+            {
+                "metric": "ngp_render_samples_per_s",
+                "value": round(samples_per_s),
+                "unit": "samples/s",
+                "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 4),
+                "detail": {
+                    "rays_per_s": round(num_rays / dt),
+                    "ms_per_batch": round(dt * 1e3, 2),
+                    "n_samples_per_batch": n_samples,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

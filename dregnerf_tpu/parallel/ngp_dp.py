@@ -1,0 +1,101 @@
+"""Data-parallel NGP training step over a device mesh.
+
+Rays are sharded across the `data` mesh axis with `shard_map`: every device
+marches and renders its own ray shard against replicated field params and
+occupancy grid (marching/compaction are per-ray local, so no communication
+until the gradient `psum`). The Adam update then runs replicated. This is
+the TPU-native replacement for what DDP *would* have been in the reference
+(SURVEY.md §2.4), with the packed sample buffer split evenly per device so
+per-chip compute stays MXU-dense.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from dregnerf_tpu.geometry.cameras import rays_from_pixels
+from dregnerf_tpu.models import ngp
+from dregnerf_tpu.ops.occupancy import OccupancyGrid
+from dregnerf_tpu.render.renderer import RenderConfig, render_rays
+from dregnerf_tpu.runtime.ngp_trainer import huber
+
+
+def make_dp_train_step(
+    mesh: Mesh,
+    optimizer: optax.GradientTransformation,
+    model_config: ngp.NGPConfig,
+    render_config: RenderConfig,
+    aabb: jnp.ndarray,
+    image_shape: tuple[int, int],
+    synthetic: bool = True,
+    opengl: bool = True,
+):
+    """Build a jitted, mesh-sharded train step.
+
+    The returned fn takes (params, opt_state, grid, images, c2ws, K, key)
+    with rays resampled per device (key folded with the device index), and
+    returns (params, opt_state, metrics) — params/opt_state replicated.
+    """
+    H, W = image_shape
+    n_data = mesh.shape["data"]
+    local_buffer = render_config.buffer_size // n_data
+    import dataclasses
+
+    local_rcfg = dataclasses.replace(render_config, buffer_size=local_buffer)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def step_fn(params, opt_state, grid_tuple, images, c2ws, K, key):
+        grid = OccupancyGrid(*grid_tuple)
+        dev = jax.lax.axis_index("data")
+        key = jax.random.fold_in(key, dev)
+        kimg, kx, ky, kbg, kmarch = jax.random.split(key, 5)
+        num_rays_local = 256  # tiny static per-device batch for the dryrun
+        n_img = images.shape[0]
+        img_id = jax.random.randint(kimg, (num_rays_local,), 0, n_img)
+        x = jax.random.randint(kx, (num_rays_local,), 0, W)
+        y = jax.random.randint(ky, (num_rays_local,), 0, H)
+        rgba = images[img_id, y, x].astype(jnp.float32) / 255.0
+        bg = jax.random.uniform(kbg, (3,))
+        if synthetic:
+            pixels = rgba[:, :3] * rgba[:, 3:4] + bg * (1.0 - rgba[:, 3:4])
+        else:
+            pixels = rgba[:, :3]
+        rays = rays_from_pixels(x, y, K, c2ws[img_id], opengl)
+
+        def loss_fn(p):
+            out, aux = render_rays(
+                p, model_config, grid, rays.origins, rays.viewdirs, aabb,
+                local_rcfg, background=bg, stratified=True, key=kmarch,
+            )
+            alive = (aux["ray_counts"] > 0).astype(jnp.float32)
+            n_alive = jnp.maximum(jnp.sum(alive), 1.0)
+            loss = jnp.sum(huber(out.rgb - pixels) * alive[:, None]) / (n_alive * 3.0)
+            return loss, aux["n_samples"]
+
+        (loss, n_samples), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # the only collective on the hot path: gradient + scalar reduction over ICI
+        grads = jax.lax.pmean(grads, "data")
+        loss = jax.lax.pmean(loss, "data")
+        n_samples = jax.lax.psum(n_samples, "data")
+
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "n_samples": n_samples}
+
+    @jax.jit
+    def wrapped(params, opt_state, grid, images, c2ws, K, key):
+        return step_fn(params, opt_state, tuple(grid), images, c2ws, K, key)
+
+    return wrapped

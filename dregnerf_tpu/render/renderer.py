@@ -44,8 +44,13 @@ def render_rays(
     stratified: bool = False,
     key: jax.Array | None = None,
     t_max: jnp.ndarray | None = None,
-) -> tuple[RenderOutput, jnp.ndarray]:
-    """Render one ray bucket. Returns (RenderOutput, n_rendering_samples).
+) -> tuple[RenderOutput, dict]:
+    """Render one ray bucket.
+
+    Returns (RenderOutput, aux) where aux carries `n_samples` (live packed
+    entries — the host reads this for dynamic ray batching, reference
+    train_ngp_nerf.py:313-319) and `ray_counts` (samples per ray — the
+    reference's alive_ray_mask source for loss masking, :321-323).
 
     Single-pass: density + color are queried together on the packed buffer
     (the reference's two-pass sigma_fn/rgb_sigma_fn split exists to feed
@@ -71,7 +76,13 @@ def render_rays(
     rgbs, sigmas = ngp.forward(params, positions, dirs, aabb, model_config)
     sigmas = jnp.where(packed.valid, sigmas.reshape(-1), 0.0)
     out = composite(packed, rgbs, sigmas, background=background)
-    return out, packed.num_samples
+    ray_counts = jax.ops.segment_sum(
+        packed.valid.astype(jnp.int32),
+        packed.ray_id,
+        num_segments=packed.num_rays + 1,
+    )[: packed.num_rays]
+    aux = {"n_samples": packed.num_samples, "ray_counts": ray_counts}
+    return out, aux
 
 
 def render_image_chunked(

@@ -1,0 +1,111 @@
+"""Flat argparse config shared by all four entry points.
+
+Flag-for-flag parity with the reference parser (conerf/utils/config.py:
+4-146) — same names, defaults, and semantics (seed 3407, aabb +-1.5,
+factor 4, test_chunk_size 8192, sine/256 pos-emb, num_downsample 6,
+n_tensorboard 30, n_validation 2500, n_checkpoint 5000) — plus a small
+`tpu` group for the knobs that only exist on this side (sample budget /
+packed-buffer size, max march steps, bf16 toggle, mesh shape).
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def config_parser(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser()
+
+    # base
+    parser.add_argument("--local_rank", type=int, default=0)
+    parser.add_argument("--distributed", action="store_true")
+    parser.add_argument("--seed", type=int, default=3407)
+    parser.add_argument("--epochs", type=int, default=50)
+    parser.add_argument("--max_iterations", type=int, default=20000)
+    parser.add_argument("--num_process", type=int, default=1)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--finetune", action="store_true")
+
+    # dataset
+    parser.add_argument(
+        "--dataset",
+        type=str,
+        default="",
+        choices=[
+            "mipnerf_360", "nerf_llff_data", "nerf_synthetic", "objaverse",
+            "scannerf", "Synthetic_NSVF", "Hypersim", "dtu", "BlendedMVS",
+        ],
+    )
+    parser.add_argument("--json_dir", type=str, default="")
+    parser.add_argument("--data_split_json", type=str, default="")
+    parser.add_argument("--factor", type=int, default=4, choices=[1, 2, 4, 8])
+    parser.add_argument("--train_split", type=str, default="trainval")
+    parser.add_argument("--root_dir", type=str, default="")
+    parser.add_argument("--scene", type=str, default="")
+    parser.add_argument("--expname", type=str, default="chair_reg")
+    parser.add_argument(
+        "--aabb",
+        type=lambda s: [float(item) for item in s.split(",")],
+        default=[-1.5, -1.5, -1.5, 1.5, 1.5, 1.5],
+    )
+    parser.add_argument("--test_chunk_size", type=int, default=8192)
+    parser.add_argument("--unbounded", action="store_true")
+    parser.add_argument("--auto_aabb", action="store_true")
+    parser.add_argument("--cone_angle", type=float, default=0.0)
+
+    # multi blocks
+    parser.add_argument("--multi_blocks", action="store_true")
+    parser.add_argument("--num_blocks", type=int, default=3)
+    parser.add_argument("--min_num_blocks", type=int, default=2)
+    parser.add_argument("--max_num_blocks", type=int, default=4)
+
+    # registration
+    parser.add_argument("--position_embedding_type", type=str, default="sine")
+    parser.add_argument("--position_embedding_dim", type=int, default=256)
+    parser.add_argument("--position_embedding_scaling", type=float, default=1.0)
+    parser.add_argument("--num_downsample", type=int, default=6)
+    parser.add_argument("--robust_loss", action="store_true")
+
+    # checkpoints
+    parser.add_argument("--ckpt_path", type=str, default="")
+    parser.add_argument("--no_load_opt", action="store_true")
+    parser.add_argument("--no_load_scheduler", action="store_true")
+
+    # log/saving
+    parser.add_argument("--enable_tensorboard", action="store_true")
+    parser.add_argument("--enable_visdom", action="store_true")
+    parser.add_argument("--n_tensorboard", type=int, default=30)
+    parser.add_argument("--n_validation", type=int, default=2500)
+    parser.add_argument("--n_checkpoint", type=int, default=5000)
+
+    # tpu-specific
+    parser.add_argument("--out_dir", type=str, default="out",
+                        help="output root (reference: out/<expname>)")
+    parser.add_argument("--sample_budget", type=int, default=1 << 18,
+                        help="packed sample-buffer capacity per step "
+                        "(reference target_sample_batch_size)")
+    parser.add_argument("--max_march_steps", type=int, default=1024,
+                        help="static candidate steps per ray")
+    parser.add_argument("--grid_resolution", type=int, default=128)
+    parser.add_argument("--init_num_rays", type=int, default=256)
+    parser.add_argument("--max_num_rays", type=int, default=1 << 16)
+    parser.add_argument("--bf16", action="store_true", default=True)
+    parser.add_argument("--no_bf16", dest="bf16", action="store_false")
+    parser.add_argument("--mesh_shape", type=str, default="",
+                        help="device mesh, e.g. '4,2' for (data, model)")
+    parser.add_argument("--compilation_cache", type=str,
+                        default="/tmp/dregnerf_jax_cache")
+
+    return parser.parse_args(argv)
+
+
+def setup_jax(config) -> None:
+    """Process-wide JAX setup: persistent compilation cache (first axon
+    compile is minutes; the cache makes reruns instant)."""
+    import jax
+
+    if getattr(config, "compilation_cache", ""):
+        try:
+            jax.config.update("jax_compilation_cache_dir", config.compilation_cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass

@@ -1,0 +1,416 @@
+"""NGP per-block training runtime.
+
+Capability parity with the reference `NGPTrainer` (train_ngp_nerf.py:26-403):
+occupancy-grid EMA update every 16 steps, dynamic ray batching that holds
+the per-step sample count near a fixed budget, smooth-L1 loss over alive
+rays, Adam(lr 1e-2, eps 1e-15) with the x0.33 MultiStep schedule at
+{1/2, 3/4, 9/10} of training, periodic validation renders + checkpoints.
+
+TPU-first redesign:
+  * The whole train step — ray sampling from the device-resident uint8
+    image stack, background compositing, marching, field eval, composite,
+    loss, Adam update — is ONE jitted function; the only host<->device
+    traffic per step is the n_samples scalar (same feedback the reference
+    reads, train_ngp_nerf.py:313) and logged scalars.
+  * Dynamic ray batching quantizes to power-of-two buckets so XLA compiles
+    a handful of programs instead of one per ray-count; compiled programs
+    are cached (persistent compilation cache enabled by the CLI).
+  * No AMP grad scaler: bf16 matmuls with f32 accumulation/params need none.
+  * Occupancy updates evaluate density at cell centers in fixed-size
+    lax.map chunks — dense MXU batches, two compiled variants
+    (warmup = all cells, steady = uniform+occupied sample).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import os
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dregnerf_tpu.datasets.base import SceneData
+from dregnerf_tpu.geometry.cameras import rays_from_pixels
+from dregnerf_tpu.models import ngp
+from dregnerf_tpu.ops import occupancy
+from dregnerf_tpu.ops.contraction import contract_inv
+from dregnerf_tpu.ops.hash_encoding import HashGridConfig
+from dregnerf_tpu.render.renderer import RenderConfig, render_rays, render_image_chunked
+from dregnerf_tpu.runtime.checkpoint import CheckpointManager
+from dregnerf_tpu.utils.metrics import mse_to_psnr
+
+
+OCC_UPDATE_INTERVAL = 16
+OCC_WARMUP_STEPS = 256
+
+
+@dataclasses.dataclass
+class NGPTrainState:
+    params: Any
+    opt_state: Any
+    grid: occupancy.OccupancyGrid
+    step: int = 0
+
+
+def huber(x: jnp.ndarray, delta: float = 1.0) -> jnp.ndarray:
+    """smooth_l1 (torch F.smooth_l1_loss elementwise)."""
+    absx = jnp.abs(x)
+    return jnp.where(absx < delta, 0.5 * x * x / delta, absx - 0.5 * delta)
+
+
+def multistep_lr(base_lr: float, max_steps: int, gamma: float = 0.33):
+    bounds = {
+        int(max_steps * 0.5): gamma,
+        int(max_steps * 0.75): gamma,
+        int(max_steps * 0.9): gamma,
+    }
+    return optax.piecewise_constant_schedule(base_lr, bounds)
+
+
+def chunked_apply(fn, x: jnp.ndarray, chunk: int):
+    """Apply fn over axis 0 in fixed-size chunks via lax.map (one compile)."""
+    n = x.shape[0]
+    if n <= chunk:
+        return fn(x)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    xp = jnp.concatenate([x, jnp.zeros((pad, *x.shape[1:]), x.dtype)])
+    out = jax.lax.map(fn, xp.reshape(n_chunks, chunk, *x.shape[1:]))
+    return out.reshape(n_chunks * chunk, *out.shape[2:])[:n]
+
+
+class NGPTrainer:
+    """Trains one NeRF block; mirrors reference NGPTrainer template methods."""
+
+    def __init__(
+        self,
+        config,
+        scene: SceneData,
+        val_scene: Optional[SceneData] = None,
+        output_dir: Optional[str] = None,
+    ):
+        self.config = config
+        self.scene = scene
+        self.val_scene = val_scene
+        self.output_dir = output_dir or os.path.join(
+            config.out_dir, config.expname
+        )
+        os.makedirs(self.output_dir, exist_ok=True)
+        self.ckpt_manager = CheckpointManager(os.path.join(self.output_dir, "model"))
+
+        self.setup_bounding_box()
+        self.build_networks()
+        self.setup_optimizer()
+        self._move_data_to_device()
+        self._step_fns: dict[int, Any] = {}
+        self.num_rays = int(config.init_num_rays)
+        self.state = NGPTrainState(
+            params=self.params, opt_state=self.opt_state, grid=self.grid
+        )
+        self.scalars_to_log: dict[str, float] = {}
+        self._log_file = open(os.path.join(self.output_dir, "log.txt"), "a")
+
+    # ------------------------------------------------------------------ setup
+    def setup_bounding_box(self) -> None:
+        """reference train_ngp_nerf.py:61-93: contraction type + step size."""
+        cfg = self.config
+        aabb = np.asarray(cfg.aabb, np.float32)
+        self.aabb = jnp.asarray(aabb)
+        self.contraction = "un_bounded_sphere" if cfg.unbounded else "aabb"
+        diag = float(np.linalg.norm(aabb[3:] - aabb[:3]))
+        self.render_step_size = diag / cfg.max_march_steps
+        self.near_plane = getattr(self.scene, "near", 0.0) or 0.0
+        self.far_plane = getattr(self.scene, "far", 1e10) or 1e10
+
+    def build_networks(self) -> None:
+        cfg = self.config
+        self.model_config = ngp.NGPConfig(
+            grid=HashGridConfig(),
+            unbounded=cfg.unbounded,
+            compute_dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
+        )
+        key = jax.random.PRNGKey(cfg.seed)
+        self.params = ngp.init_ngp(key, self.model_config)
+        self.grid = occupancy.init_grid(cfg.grid_resolution)
+        self.render_config = RenderConfig(
+            contraction=self.contraction,
+            render_step_size=self.render_step_size,
+            buffer_size=cfg.sample_budget,
+            max_steps=cfg.max_march_steps,
+            near_plane=self.near_plane,
+            far_plane=self.far_plane,
+            chunk_size=cfg.test_chunk_size,
+        )
+
+    def setup_optimizer(self) -> None:
+        schedule = multistep_lr(1e-2, self.config.max_iterations)
+        self.optimizer = optax.adam(schedule, eps=1e-15)
+        self.opt_state = self.optimizer.init(self.params)
+
+    def _move_data_to_device(self) -> None:
+        self.images = jnp.asarray(self.scene.images)  # uint8, device-resident
+        self.c2ws = jnp.asarray(self.scene.camtoworlds)
+        self.K = jnp.asarray(self.scene.K)
+
+    # ------------------------------------------------------------- train step
+    def _make_step_fn(self, num_rays: int):
+        cfg = self.config
+        model_cfg = self.model_config
+        rcfg = self.render_config
+        aabb = self.aabb
+        H, W = self.scene.height, self.scene.width
+        synthetic = self.scene.synthetic
+        opengl = self.scene.opengl
+        optimizer = self.optimizer
+
+        @jax.jit
+        def step_fn(params, opt_state, grid, images, c2ws, K, key):
+            kimg, kx, ky, kbg, kmarch = jax.random.split(key, 5)
+            n_img = images.shape[0]
+            img_id = jax.random.randint(kimg, (num_rays,), 0, n_img)
+            x = jax.random.randint(kx, (num_rays,), 0, W)
+            y = jax.random.randint(ky, (num_rays,), 0, H)
+            rgba = images[img_id, y, x].astype(jnp.float32) / 255.0
+            bg = jax.random.uniform(kbg, (3,))
+            if synthetic:
+                pixels = rgba[:, :3] * rgba[:, 3:4] + bg * (1.0 - rgba[:, 3:4])
+            else:
+                pixels = rgba[:, :3]
+            rays = rays_from_pixels(x, y, K, c2ws[img_id], opengl)
+
+            def loss_fn(p):
+                out, aux = render_rays(
+                    p, model_cfg, grid, rays.origins, rays.viewdirs, aabb, rcfg,
+                    background=bg, stratified=True, key=kmarch,
+                )
+                alive = (aux["ray_counts"] > 0).astype(jnp.float32)
+                n_alive = jnp.maximum(jnp.sum(alive), 1.0)
+                err = huber(out.rgb - pixels)
+                loss = jnp.sum(err * alive[:, None]) / (n_alive * 3.0)
+                sq = jnp.sum((out.rgb - pixels) ** 2 * alive[:, None]) / (n_alive * 3.0)
+                return loss, (aux, sq, jnp.sum(alive))
+
+            (loss, (aux, sq, n_alive)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = {
+                "loss": loss,
+                "psnr": mse_to_psnr(sq),
+                "n_samples": aux["n_samples"],
+                "alive_rays": n_alive,
+            }
+            return params, opt_state, metrics
+
+        return step_fn
+
+    @functools.cached_property
+    def _occ_update_fns(self):
+        cfg = self.config
+        model_cfg = self.model_config
+        aabb = self.aabb
+        contraction = self.contraction
+        step_size = self.render_step_size
+
+        def occ_fn(params, u):
+            world = contract_inv(u, aabb, contraction)
+            d = ngp.query_density(params, world, aabb, model_cfg)
+            return d.reshape(-1) * step_size
+
+        chunk = 1 << 16
+
+        def make(warmup: bool):
+            n_samples = min(cfg.grid_resolution**3 // 4, 1 << 17)
+
+            @jax.jit
+            def update(grid, params, key):
+                return occupancy.update_grid(
+                    grid,
+                    key,
+                    lambda u: chunked_apply(lambda c: occ_fn(params, c), u, chunk),
+                    warmup=warmup,
+                    n_samples=n_samples,
+                )
+
+            return update
+
+        return {True: make(True), False: make(False)}
+
+    # ------------------------------------------------------------------ train
+    def train_iteration(self, step: int, key: jax.Array) -> dict:
+        s = self.state
+        if step % OCC_UPDATE_INTERVAL == 0:
+            warmup = step < OCC_WARMUP_STEPS
+            s.grid = self._occ_update_fns[warmup](
+                s.grid, s.params, jax.random.fold_in(key, 1)
+            )
+
+        bucket = self.num_rays
+        if bucket not in self._step_fns:
+            self._step_fns[bucket] = self._make_step_fn(bucket)
+        s.params, s.opt_state, metrics = self._step_fns[bucket](
+            s.params, s.opt_state, s.grid, self.images, self.c2ws, self.K,
+            jax.random.fold_in(key, 0),
+        )
+
+        # dynamic ray batching: track the sample budget, pow2 buckets
+        n_samples = int(metrics["n_samples"])
+        if n_samples > 0:
+            target = self.config.sample_budget
+            ideal = bucket * target / max(n_samples, 1)
+            new_bucket = 1 << int(round(math.log2(max(ideal, 1))))
+            self.num_rays = int(
+                np.clip(new_bucket, self.config.init_num_rays, self.config.max_num_rays)
+            )
+        metrics["num_rays"] = bucket
+        return metrics
+
+    def train(self) -> None:
+        cfg = self.config
+        key = jax.random.PRNGKey(cfg.seed)
+        start = self.load_checkpoint()
+        t0 = time.time()
+        for step in range(start, cfg.max_iterations):
+            metrics = self.train_iteration(step, jax.random.fold_in(key, step))
+            self.state.step = step + 1
+            if step % cfg.n_tensorboard == 0:
+                self.log_scalars(step, metrics, time.time() - t0)
+            if (step + 1) % cfg.n_validation == 0:
+                self.validate(step + 1)
+            if (step + 1) % cfg.n_checkpoint == 0 or step + 1 == cfg.max_iterations:
+                self.save_checkpoint(step + 1)
+
+    # ------------------------------------------------------------------ infra
+    def log_scalars(self, step: int, metrics: dict, elapsed: float) -> None:
+        line = (
+            f"step {step} | loss {float(metrics['loss']):.5f} | "
+            f"psnr {float(metrics['psnr']):.2f} | rays {metrics['num_rays']} | "
+            f"samples {int(metrics['n_samples'])} | "
+            f"alive {int(metrics['alive_rays'])} | {elapsed:.1f}s"
+        )
+        print(line, flush=True)
+        self._log_file.write(line + "\n")
+        self._log_file.flush()
+
+    def validate(self, step: int) -> float:
+        scene = self.val_scene or self.scene
+        idx = 0
+        from dregnerf_tpu.geometry.cameras import image_rays
+
+        rays = image_rays(
+            jnp.asarray(scene.K), jnp.asarray(scene.camtoworlds[idx]),
+            scene.height, scene.width, scene.opengl,
+        )
+        bg = jnp.ones(3)
+        rgb, _, _ = render_image_chunked(
+            self.state.params, self.model_config, self.state.grid,
+            rays.origins.reshape(-1, 3), rays.viewdirs.reshape(-1, 3),
+            self.aabb, self.render_config, bg,
+        )
+        rgb = rgb.reshape(scene.height, scene.width, 3)
+        gt = np.asarray(scene.images[idx], np.float32) / 255.0
+        if scene.synthetic:
+            gt = gt[..., :3] * gt[..., 3:4] + np.ones(3) * (1 - gt[..., 3:4])
+        val_mse = float(np.mean((np.asarray(rgb) - gt) ** 2))
+        val_psnr = -10.0 * math.log10(val_mse)
+        print(f"[val] step {step} psnr {val_psnr:.2f}", flush=True)
+        try:
+            import imageio.v2 as imageio
+
+            os.makedirs(os.path.join(self.output_dir, "val"), exist_ok=True)
+            imageio.imwrite(
+                os.path.join(self.output_dir, "val", f"rgb_{step:06d}.png"),
+                (np.clip(np.asarray(rgb), 0, 1) * 255).astype(np.uint8),
+            )
+        except Exception:
+            pass
+        return val_psnr
+
+    def compose_meta(self) -> dict:
+        """Self-describing render meta (reference train_ngp_nerf.py:192-209)."""
+        cfg = self.config
+        return {
+            "aabb": np.asarray(self.aabb).tolist(),
+            "unbounded": bool(cfg.unbounded),
+            "grid_resolution": cfg.grid_resolution,
+            "contraction_type": self.contraction,
+            "near_plane": self.near_plane,
+            "far_plane": min(self.far_plane, 1e10),
+            "render_step_size": self.render_step_size,
+            "alpha_thre": 0.0,
+            "cone_angle": cfg.cone_angle,
+            "camera_poses": np.asarray(self.scene.camtoworlds).tolist(),
+            "block_id": self.scene.block_id,
+            "model_config": {
+                "unbounded": bool(cfg.unbounded),
+                "bf16": bool(cfg.bf16),
+            },
+        }
+
+    def save_checkpoint(self, step: int, score: Optional[float] = None) -> None:
+        state = {
+            "model": self.state.params,
+            "occupancy": {
+                "occs": self.state.grid.occs, "binary": self.state.grid.binary
+            },
+            "optimizer": self.state.opt_state,
+        }
+        self.ckpt_manager.save(step, state, self.compose_meta(), score)
+
+    def load_checkpoint(self) -> int:
+        templates = {
+            "model": self.state.params,
+            "occupancy": {
+                "occs": self.state.grid.occs, "binary": self.state.grid.binary
+            },
+            "optimizer": self.state.opt_state,
+        }
+        loaded = self.ckpt_manager.load(templates, path=self.config.ckpt_path)
+        if loaded is None:
+            return 0
+        state, meta = loaded
+        self.state.params = state["model"]
+        if not self.config.no_load_opt:
+            self.state.opt_state = state["optimizer"]
+        self.state.grid = occupancy.OccupancyGrid(
+            occs=jnp.asarray(state["occupancy"]["occs"]),
+            binary=jnp.asarray(state["occupancy"]["binary"]),
+        )
+        print(f"resumed from step {meta['step']}", flush=True)
+        return int(meta["step"])
+
+
+def load_field_from_checkpoint(path: str):
+    """Rebuild (params, grid, meta, model_config, render_config) from one
+    artifact — the reference `load_radiance_fields` contract
+    (confidence_loss.py:16-52)."""
+    from dregnerf_tpu.runtime.checkpoint import load_checkpoint as _load
+
+    flat, meta = _load(path)
+    model_cfg = ngp.NGPConfig(
+        unbounded=bool(meta.get("unbounded", False)),
+        compute_dtype=jnp.bfloat16 if meta.get("model_config", {}).get("bf16", True)
+        else jnp.float32,
+    )
+    key = jax.random.PRNGKey(0)
+    template_params = ngp.init_ngp(key, model_cfg)
+    from dregnerf_tpu.runtime.checkpoint import _unflatten_into
+
+    params = _unflatten_into(template_params, flat, prefix="model::")
+    grid = occupancy.OccupancyGrid(
+        occs=jnp.asarray(flat["occupancy::occs"]),
+        binary=jnp.asarray(flat["occupancy::binary"]),
+    )
+    render_cfg = RenderConfig(
+        contraction=meta["contraction_type"],
+        render_step_size=float(meta["render_step_size"]),
+        near_plane=float(meta.get("near_plane", 0.0) or 0.0),
+        far_plane=float(meta.get("far_plane", 1e10) or 1e10),
+    )
+    return params, grid, meta, model_cfg, render_cfg

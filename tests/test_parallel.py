@@ -1,0 +1,69 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (1024, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dp_matches_single_device_grads_shape():
+    """DP step must return replicated params identical across devices."""
+    import __graft_entry__ as ge
+
+    # executing twice with same key must be deterministic
+    import optax
+    from dregnerf_tpu.models import ngp
+    from dregnerf_tpu.ops import occupancy
+    from dregnerf_tpu.ops.hash_encoding import HashGridConfig
+    from dregnerf_tpu.parallel.mesh import make_mesh
+    from dregnerf_tpu.parallel.ngp_dp import make_dp_train_step
+    from dregnerf_tpu.render.renderer import RenderConfig
+
+    mesh = make_mesh(4, ("data",))
+    cfg = ngp.NGPConfig(
+        grid=HashGridConfig(n_levels=2, log2_table_size=8),
+        compute_dtype=jnp.float32,
+    )
+    key = jax.random.PRNGKey(0)
+    params = ngp.init_ngp(key, cfg)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    grid = occupancy.init_grid(8)._replace(binary=jnp.ones((8,) * 3, bool))
+    aabb = jnp.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+    rcfg = RenderConfig(render_step_size=0.1, buffer_size=2048, max_steps=32)
+    H = W = 8
+    images = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (2, H, W, 4), dtype=np.uint8)
+    )
+    c2ws = jnp.tile(
+        jnp.concatenate([jnp.eye(3), jnp.array([[0.0], [0.0], [3.0]])], 1)[None],
+        (2, 1, 1),
+    )
+    K = jnp.array([[10.0, 0, 4], [0, 10.0, 4], [0, 0, 1]])
+
+    with mesh:
+        step = make_dp_train_step(mesh, opt, cfg, rcfg, aabb, (H, W))
+        p1, _, m1 = step(params, opt_state, grid, images, c2ws, K, key)
+        p2, _, m2 = step(params, opt_state, grid, images, c2ws, K, key)
+    np.testing.assert_allclose(
+        np.asarray(p1["table"]), np.asarray(p2["table"]), atol=0
+    )
+    assert np.isfinite(float(m1["loss"]))

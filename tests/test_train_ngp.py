@@ -1,0 +1,120 @@
+"""End-to-end NGP training smoke test on the hermetic fixture scene.
+
+Mirrors BASELINE config 1: tiny NGP, few hundred steps, CPU — PSNR must
+climb well above the random-field level, proving the full loop
+(data -> rays -> march -> field -> composite -> loss -> Adam) learns.
+"""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from dregnerf_tpu.datasets import fixtures
+from dregnerf_tpu.runtime.config import config_parser
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    fixtures.make_scene(str(root), num_views=24, image_size=48)
+    return str(root)
+
+
+def tiny_config(root, out, extra=()):
+    argv = [
+        "--dataset", "objaverse",
+        "--root_dir", root,
+        "--scene", "fixture_scene",
+        "--expname", "smoke",
+        "--out_dir", out,
+        "--factor", "1",
+        "--aabb=-1.0,-1.0,-1.0,1.0,1.0,1.0",
+        "--max_iterations", "120",
+        "--sample_budget", str(1 << 14),
+        "--max_march_steps", "128",
+        "--grid_resolution", "32",
+        "--init_num_rays", "512",
+        "--max_num_rays", "2048",
+        "--n_tensorboard", "50",
+        "--n_validation", "1000000",
+        "--n_checkpoint", "120",
+        "--no_bf16",
+        "--compilation_cache", "",
+        *extra,
+    ]
+    return config_parser(argv)
+
+
+@pytest.fixture(scope="module")
+def trained(fixture_root, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out"))
+    from dregnerf_tpu.datasets.base import load_scene_blocks
+    from dregnerf_tpu.runtime.ngp_trainer import NGPTrainer
+
+    cfg = tiny_config(fixture_root, out)
+    # shrink the model for CPU speed
+    train_scene = load_scene_blocks("objaverse", fixture_root, "fixture_scene", "train")[0]
+    test_scene = load_scene_blocks("objaverse", fixture_root, "fixture_scene", "test")[0]
+
+    trainer = NGPTrainer(cfg, train_scene, test_scene)
+    from dregnerf_tpu.models.ngp import NGPConfig, init_ngp
+    from dregnerf_tpu.ops.hash_encoding import HashGridConfig
+
+    trainer.model_config = NGPConfig(
+        grid=HashGridConfig(n_levels=8, log2_table_size=13),
+        compute_dtype=jax.numpy.float32,
+    )
+    trainer.params = init_ngp(jax.random.PRNGKey(0), trainer.model_config)
+    trainer.opt_state = trainer.optimizer.init(trainer.params)
+    trainer.state.params = trainer.params
+    trainer.state.opt_state = trainer.opt_state
+    # drop cached jit fns built against the big config
+    trainer._step_fns = {}
+    trainer.__dict__.pop("_occ_update_fns", None)
+    trainer.train()
+    return trainer, cfg, out
+
+
+class TestTraining:
+    def test_psnr_improves(self, trained):
+        trainer, _, _ = trained
+        psnr = trainer.validate(step=120)
+        assert psnr > 14.0, f"PSNR after 120 steps too low: {psnr}"
+
+    def test_occupancy_grid_carved(self, trained):
+        trainer, _, _ = trained
+        frac = float(np.asarray(trainer.state.grid.binary).mean())
+        assert 0.0 < frac < 0.9  # not empty, not everything
+
+    def test_checkpoint_roundtrip(self, trained):
+        trainer, cfg, out = trained
+        from dregnerf_tpu.runtime.ngp_trainer import load_field_from_checkpoint
+
+        path = os.path.join(out, "smoke", "model", "model.ckpt")
+        assert os.path.exists(path)
+        params, grid, meta, model_cfg, render_cfg = load_field_from_checkpoint(path)
+        assert meta["step"] == 120
+        assert meta["aabb"][0] == -1.0
+        assert grid.binary.shape == (32, 32, 32)
+        # NOTE: load_field rebuilds the DEFAULT model config; the smoke test
+        # shrank the net, so just check structure round-trips through npz.
+        from dregnerf_tpu.runtime.checkpoint import load_checkpoint
+
+        flat, _ = load_checkpoint(path)
+        got = flat["model::table"]
+        np.testing.assert_allclose(got, np.asarray(trainer.state.params["table"]))
+
+    def test_resume_continues(self, trained):
+        trainer, cfg, out = trained
+        mgr = trainer.ckpt_manager
+        assert mgr.latest_step() == 120
+
+
+def test_dynamic_ray_bucket_is_pow2():
+    from dregnerf_tpu.runtime import ngp_trainer  # noqa: F401  (import check)
+    import math
+
+    for ideal in [300, 511, 513, 4096, 100000]:
+        b = 1 << int(round(math.log2(max(ideal, 1))))
+        assert b & (b - 1) == 0
