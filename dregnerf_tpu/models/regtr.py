@@ -1,0 +1,169 @@
+"""NeRFRegTr: NeRF-pair registration network, TPU-native.
+
+Capability parity with conerf/register/nerf_regtr.py:72-248:
+  FPN3D over the rgba voxel grid -> trilinear upsample to full grid
+  resolution -> select occupied voxels -> hierarchical voxel subsample to
+  cap the token count -> sine positional embedding -> 6-layer transformer
+  cross-encoder -> correspondence decoder (single-head attention onto the
+  other cloud's coordinates + sigmoid overlap) -> per-layer weighted Kabsch
+  pose.
+
+TPU redesign (not a port):
+  * everything is static-shape: occupied-voxel selection uses a stable
+    argsort ("first K occupied"), subsampling keeps fixed capacity with
+    validity masks, tokens are padded to `num_tokens` per side;
+  * the voxel grid stays in NDHWC (XLA's TPU conv layout); the flat-index
+    convention (ix*R^2 + iy*R + iz) matches the reference's voxel_mask
+    artifacts (eval_ngp_nerf.py:411, dataset.py:244-248);
+  * Kabsch runs in f32 (bf16 SVD is garbage); the rest of the network runs
+    in the module dtype.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dregnerf_tpu.geometry.kabsch import weighted_rigid_transform
+from dregnerf_tpu.models.pos_embed import (
+    PositionEmbeddingCoordsSine,
+    PositionEmbeddingLearned,
+)
+from dregnerf_tpu.models.resnet3d import FeaturePyramid3D
+from dregnerf_tpu.models.transformer import (
+    CorrespondenceDecoder,
+    TransformerCrossEncoder,
+)
+from dregnerf_tpu.ops.voxel_subsample import (
+    PointSet,
+    hierarchical_subsample,
+    masked_select_first_k,
+)
+
+
+def trilinear_resize(x: jnp.ndarray, size: tuple[int, int, int]) -> jnp.ndarray:
+    """[B, D, H, W, C] trilinear resize (F.interpolate parity)."""
+    b, _, _, _, c = x.shape
+    return jax.image.resize(x, (b, *size, c), method="trilinear")
+
+
+class NeRFRegTr(nn.Module):
+    pos_emb_type: str = "sine"
+    d_model: int = 256
+    pos_emb_scaling: float = 1.0
+    num_downsample: int = 6
+    backbone: str = "resnet50"
+    num_layers: int = 6
+    num_heads: int = 8
+    dim_feedforward: int = 1024
+    max_input_points: int = 16384  # cap on occupied voxels entering subsample
+    num_tokens: int = 2048  # per-side transformer capacity
+    init_subsample_cell: float = 0.05
+    max_points: int = 1500  # reference's per-level stop threshold
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, data: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        """
+        Args (batch size 1, squeezed):
+          data['src_grid'] / data['tgt_grid']: [R, R, R, 7] voxel features
+            (xyz 0:3, rgb 3:6, alpha 6) — the voxel_grid.pt layout.
+          data['src_mask'] / data['tgt_mask']: [R^3] bool occupied-voxel
+            masks in flat ix*R^2+iy*R+iz order (voxel_mask.pt indices
+            scattered to bool).
+
+        Returns dict with per-layer correspondences/overlaps (padded, with
+        'src_valid'/'tgt_valid' masks), conditioned features, and
+        'pose' [num_layers, 3, 4].
+        """
+        fpn = FeaturePyramid3D(self.backbone, self.d_model, self.dtype, name="fpn3d")
+        if self.pos_emb_type == "sine":
+            pos_embed = PositionEmbeddingCoordsSine(
+                3, self.d_model, scale=self.pos_emb_scaling, name="pos_embed"
+            )
+        else:
+            pos_embed = PositionEmbeddingLearned(3, self.d_model, name="pos_embed")
+        encoder = TransformerCrossEncoder(
+            self.num_layers, self.d_model, self.num_heads, self.dim_feedforward,
+            self.dtype, name="transformer_encoder",
+        )
+        decoder = CorrespondenceDecoder(self.d_model, self.dtype, name="decoder")
+
+        def side(grid, mask):
+            r = grid.shape[0]
+            rgba = grid[None, ..., 3:7].astype(self.dtype)  # [1, R, R, R, 4]
+            feats = fpn(rgba)  # [1, R/2, R/2, R/2, D]
+            feats = trilinear_resize(feats, (r, r, r))[0]  # [R, R, R, D]
+            xyz_flat = grid[..., :3].reshape(-1, 3)
+            feats_flat = feats.reshape(-1, self.d_model)
+            idx, valid = masked_select_first_k(mask, self.max_input_points)
+            return PointSet(
+                xyz=xyz_flat[idx] * valid[:, None],
+                feats=feats_flat[idx] * valid[:, None],
+                valid=valid,
+                count=jnp.sum(mask.astype(jnp.int32)),
+            )
+
+        src_ps = side(data["src_grid"], data["src_mask"])
+        tgt_ps = side(data["tgt_grid"], data["tgt_mask"])
+
+        src_ds, tgt_ds, level = hierarchical_subsample(
+            src_ps, tgt_ps, self.num_downsample, self.init_subsample_cell,
+            self.max_points,
+        )
+
+        # cap per-side tokens (valid entries are already first)
+        k = self.num_tokens
+        src_xyz = src_ds.xyz[:k][None]  # [1, N, 3]
+        tgt_xyz = tgt_ds.xyz[:k][None]
+        src_feats = src_ds.feats[:k][None].astype(self.dtype)
+        tgt_feats = tgt_ds.feats[:k][None].astype(self.dtype)
+        src_valid = src_ds.valid[:k][None]
+        tgt_valid = tgt_ds.valid[:k][None]
+
+        src_pe = pos_embed(src_xyz).astype(self.dtype)
+        tgt_pe = pos_embed(tgt_xyz).astype(self.dtype)
+
+        src_cond, tgt_cond = encoder(
+            src_feats, tgt_feats, src_valid, tgt_valid, src_pe, tgt_pe
+        )  # [L, 1, N, D]
+
+        src_corr, tgt_corr, src_overlap, tgt_overlap = decoder(
+            src_cond, tgt_cond, src_xyz, tgt_xyz, src_valid, tgt_valid,
+            src_pe, tgt_pe,
+        )
+
+        # per-layer weighted Kabsch over both-direction correspondences
+        L = self.num_layers
+        src_xyz_l = jnp.broadcast_to(src_xyz[None], (L, 1, k, 3))
+        tgt_xyz_l = jnp.broadcast_to(tgt_xyz[None], (L, 1, k, 3))
+        corr_src = jnp.concatenate([src_xyz_l, src_corr.astype(jnp.float32)], axis=-1)
+        corr_tgt = jnp.concatenate([tgt_corr.astype(jnp.float32), tgt_xyz_l], axis=-1)
+        corr_all = jnp.concatenate([corr_src, corr_tgt], axis=2)  # [L, 1, 2N, 6]
+        w = jnp.concatenate(
+            [
+                src_overlap.astype(jnp.float32) * src_valid[None],
+                tgt_overlap.astype(jnp.float32) * tgt_valid[None],
+            ],
+            axis=2,
+        )  # [L, 1, 2N]
+        pose = weighted_rigid_transform(
+            corr_all[..., :3], corr_all[..., 3:], w
+        )  # [L, 1, 3, 4]
+
+        return {
+            "src_feats": src_cond,  # [L, 1, N, D]
+            "tgt_feats": tgt_cond,
+            "src_kp": src_xyz[0],  # [N, 3]
+            "tgt_kp": tgt_xyz[0],
+            "src_kp_warped": src_corr[:, 0],  # [L, N, 3]
+            "tgt_kp_warped": tgt_corr[:, 0],
+            "src_overlap": src_overlap[:, 0],  # [L, N]
+            "tgt_overlap": tgt_overlap[:, 0],
+            "src_valid": src_valid[0],  # [N]
+            "tgt_valid": tgt_valid[0],
+            "pose": pose[:, 0],  # [L, 3, 4]
+            "ds_level": level,
+        }

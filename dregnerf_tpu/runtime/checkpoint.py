@@ -63,7 +63,11 @@ def _unflatten_into(template: Any, flat: Dict[str, np.ndarray], prefix: str = ""
         if k not in flat:
             raise KeyError(f"checkpoint missing leaf {k!r}")
         arr = flat[k]
-        leaves.append(arr.astype(leaf.dtype) if hasattr(leaf, "dtype") else arr)
+        if hasattr(leaf, "dtype"):
+            arr = arr.astype(leaf.dtype)
+        # hand back device arrays: numpy leaves inside jitted code break on
+        # traced-index fancy indexing (e.g. the hash-table gather)
+        leaves.append(jax.numpy.asarray(arr))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
