@@ -1,0 +1,213 @@
+"""NeRF-pair registration dataset (host-side).
+
+Parity with conerf/datasets/register/dataset.py:94-331 `NeRFRegDataset`:
+scenes indexed via the objaverse.json split + obj_id_names.json mapping
+(the split JSONs ship verbatim in datasets/register/); per item, two random
+blocks of a scene are loaded (voxel_grid.pt + voxel_mask.pt) with GT
+relative pose tgt_T @ inv(src_T) from world_frame_transforms.json; train
+augmentations are xyz jitter (sigma 0.005, clip 0.05), a centroid-centered
+random SE(3) perturbation (std 0.1) applied to one side with the pose
+updated, and a random src/tgt swap with the pose inverted.
+
+Layout difference from the reference (TPU-side contract): grids stay in
+their on-disk [R, R, R, 7] order and masks are expanded to flat bool [R^3]
+(the model's static-shape input) — the flat-index convention
+ix*R^2 + iy*R + iz is identical, so reference-generated artifacts load
+unchanged.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _load_torch_artifact(path: str) -> np.ndarray:
+    import torch
+
+    t = torch.load(path, map_location="cpu", weights_only=True)
+    return t.numpy()
+
+
+def load_split_subjects(json_dir: str, dataset: str, split: str) -> List[str]:
+    """objaverse.json + obj_id_names.json -> subject-name list."""
+    if not json_dir:
+        json_dir = os.path.join(os.path.dirname(__file__), "register")
+    with open(os.path.join(json_dir, "objaverse.json")) as f:
+        splits = json.load(f)
+    block = splits.get(dataset, splits.get("objaverse"))
+    names = block[split]
+    if dataset == "objaverse":
+        with open(os.path.join(json_dir, "obj_id_names.json")) as f:
+            id_to_name = json.load(f)
+        names = [id_to_name[i] if i in id_to_name else i for i in names]
+    return names
+
+
+def load_scene_meta(root_fp: str, subject_id: str, model_dir: str = "nerf_models"):
+    """Block paths + world-frame transforms for one scene; None if absent."""
+    from dregnerf_tpu.datasets.base import read_world_frame_transforms
+
+    raw_data_dir = os.path.join(root_fp, "images", subject_id)
+    block_model_dir = os.path.join(root_fp, model_dir, subject_id)
+    if not os.path.isdir(block_model_dir):
+        return None
+    transforms = read_world_frame_transforms(raw_data_dir)
+    if transforms is None:
+        # also accept transforms stored next to the models
+        transforms = read_world_frame_transforms(block_model_dir)
+    if transforms is None:
+        return None
+    meta = {"scene": subject_id, "blocks": []}
+    for k in sorted(transforms):
+        block_dir = os.path.join(block_model_dir, f"block_{k}")
+        paths = {
+            "transform": transforms[k],
+            "model_path": _first_existing(
+                os.path.join(block_dir, "model", "model.ckpt"),
+                os.path.join(block_dir, "model.ckpt"),
+                os.path.join(block_dir, "model.pth"),
+            ),
+            "voxel_grid_path": os.path.join(block_dir, "voxel_grid.pt"),
+            "voxel_mask_path": os.path.join(block_dir, "voxel_mask.pt"),
+            "voxel_ply_path": os.path.join(block_dir, "voxel_point_cloud.ply"),
+        }
+        if not (
+            paths["model_path"]
+            and os.path.exists(paths["voxel_grid_path"])
+            and os.path.exists(paths["voxel_mask_path"])
+        ):
+            return None
+        meta["blocks"].append(paths)
+    return meta if len(meta["blocks"]) >= 2 else None
+
+
+def _first_existing(*paths: str) -> Optional[str]:
+    for p in paths:
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def _se3_small(rng: np.random.Generator, std: float) -> np.ndarray:
+    from scipy.linalg import expm
+
+    xi = rng.normal(size=6) * std
+    omega, v = xi[:3], xi[3:]
+    hat = np.array(
+        [[0, -omega[2], omega[1]], [omega[2], 0, -omega[0]], [-omega[1], omega[0], 0]]
+    )
+    out = np.eye(4)
+    out[:3, :3] = expm(hat)
+    out[:3, 3] = v
+    return out
+
+
+class NeRFRegDataset:
+    """Iterable over NeRF pairs. __getitem__ returns a numpy dict matching
+    the NeRFRegTr input contract (src_grid/tgt_grid [R,R,R,7], flat bool
+    masks, pose [4,4], nerf paths)."""
+
+    def __init__(
+        self,
+        root_fp: str,
+        dataset: str = "objaverse",
+        json_dir: str = "",
+        subject_id: Optional[str] = None,
+        split: str = "train",
+        model_dir: str = "nerf_models",
+        seed: int = 0,
+    ):
+        self.split = split
+        self.rng = np.random.default_rng(seed)
+        self.jitter_scale, self.jitter_clip = 0.005, 0.05
+        self.perturb_std = 0.1
+        self.meta: List[Dict] = []
+
+        if subject_id is not None:
+            m = load_scene_meta(root_fp, subject_id, model_dir)
+            if m:
+                self.meta.append(m)
+        else:
+            dataset_dir = os.path.join(root_fp, dataset)
+            subjects = load_split_subjects(json_dir, dataset, split)
+            for s in subjects:
+                m = load_scene_meta(dataset_dir, s, model_dir)
+                if m:
+                    self.meta.append(m)
+        print(f"Loaded {len(self.meta)} {split} scenes.")
+
+    def __len__(self) -> int:
+        return len(self.meta)
+
+    def _load_block(self, paths: Dict):
+        grid = _load_torch_artifact(paths["voxel_grid_path"]).astype(np.float32)
+        mask_idx = _load_torch_artifact(paths["voxel_mask_path"]).astype(np.int64)
+        r = grid.shape[0]
+        mask = np.zeros(r * r * r, bool)
+        mask[mask_idx] = True
+        return grid, mask
+
+    def __getitem__(self, index: int) -> Dict:
+        scene = self.meta[index]
+        blocks = list(range(len(scene["blocks"])))
+        self.rng.shuffle(blocks)
+        src_b, tgt_b = scene["blocks"][blocks[0]], scene["blocks"][blocks[1]]
+
+        src_grid, src_mask = self._load_block(src_b)
+        tgt_grid, tgt_mask = self._load_block(tgt_b)
+        src_T = np.asarray(src_b["transform"], np.float64)
+        tgt_T = np.asarray(tgt_b["transform"], np.float64)
+        pose = (tgt_T @ np.linalg.inv(src_T)).astype(np.float32)
+
+        data = {
+            "src_grid": src_grid, "tgt_grid": tgt_grid,
+            "src_mask": src_mask, "tgt_mask": tgt_mask,
+            "src_nerf_path": src_b["model_path"],
+            "tgt_nerf_path": tgt_b["model_path"],
+            "src_ply_path": src_b.get("voxel_ply_path", ""),
+            "tgt_ply_path": tgt_b.get("voxel_ply_path", ""),
+            "pose": pose, "scene": scene["scene"], "index": index,
+            "block_list": blocks[:2],
+        }
+        if self.split == "train":
+            self._points_jitter(data, "src")
+            self._points_jitter(data, "tgt")
+            self._rigid_perturb(data)
+            self._random_swap(data)
+        return data
+
+    # ---------------------------------------------------------- augmentations
+    def _points_jitter(self, data: Dict, side: str) -> None:
+        grid, mask = data[f"{side}_grid"], data[f"{side}_mask"]
+        r = grid.shape[0]
+        xyz = grid.reshape(-1, 7)[:, :3]
+        noise = np.clip(
+            self.rng.normal(size=(int(mask.sum()), 3)) * self.jitter_scale,
+            -self.jitter_clip, self.jitter_clip,
+        ).astype(np.float32)
+        xyz[mask] += noise
+
+    def _rigid_perturb(self, data: Dict) -> None:
+        perturb = _se3_small(self.rng, self.perturb_std)
+        perturb_source = self.rng.random() > 0.5
+        side = "src" if perturb_source else "tgt"
+        grid, mask = data[f"{side}_grid"], data[f"{side}_mask"]
+        xyz = grid.reshape(-1, 7)[:, :3]
+        centroid = xyz[mask].mean(axis=0)
+        center = np.eye(4)
+        center[:3, 3] = -centroid
+        p = np.linalg.inv(center) @ perturb @ center
+        if perturb_source:
+            data["pose"] = (data["pose"] @ np.linalg.inv(p)).astype(np.float32)
+        else:
+            data["pose"] = (p @ data["pose"]).astype(np.float32)
+        xyz[mask] = (xyz[mask] @ p[:3, :3].T + p[:3, 3]).astype(np.float32)
+
+    def _random_swap(self, data: Dict) -> None:
+        if self.rng.random() > 0.5:
+            for k in ("grid", "mask", "nerf_path", "ply_path"):
+                data[f"src_{k}"], data[f"tgt_{k}"] = data[f"tgt_{k}"], data[f"src_{k}"]
+            data["pose"] = np.linalg.inv(data["pose"]).astype(np.float32)

@@ -1,0 +1,122 @@
+"""Registration losses (masked, static-shape).
+
+Parity with the reference's 4-loss setup (train_nerf_regtr.py:104-122,
+171-256): BCE overlap vs NeRF surface-field labels, smooth-L1 "nerf
+consistency" on warped keypoints' visibility, InfoNCE feature loss with a
+learned symmetric bilinear form, and a Charbonnier robust correspondence
+loss weighted by GT overlap. Weights {overlap 1, nerf_cont 1, feature 0.1,
+corr 1}.
+
+Every loss takes validity masks because this build pads token sequences to
+a static capacity.
+
+Known reference quirk (SURVEY.md): the reference feeds
+BCEWithLogits(input=GT, target=sigmoid(pred)) — swapped arguments and
+double sigmoid. Here overlap is a plain masked binary cross-entropy on the
+predicted probabilities, which is the intended loss landscape.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_mean(x: jnp.ndarray, mask: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    m = mask.astype(jnp.float32)
+    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), eps)
+
+
+def overlap_bce(pred_prob: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked BCE on probabilities. pred_prob/gt/mask: [N]."""
+    p = jnp.clip(pred_prob, 1e-6, 1.0 - 1e-6)
+    bce = -(gt * jnp.log(p) + (1.0 - gt) * jnp.log(1.0 - p))
+    return masked_mean(bce, mask)
+
+
+def smooth_l1(x: jnp.ndarray, delta: float = 1.0) -> jnp.ndarray:
+    ax = jnp.abs(x)
+    return jnp.where(ax < delta, 0.5 * x * x / delta, ax - 0.5 * delta)
+
+
+def nerf_consistency(
+    overlap_tilde: jnp.ndarray, overlap_gt: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """smooth_l1 between visibility of warped kps and GT visibility
+    (train_nerf_regtr.py:198-201); applied across ALL layers.
+    overlap_*: [L, N]; mask: [N]."""
+    return masked_mean(
+        smooth_l1(overlap_tilde - overlap_gt), jnp.broadcast_to(mask, overlap_gt.shape)
+    )
+
+
+def charbonnier(x: jnp.ndarray, scale: float = 0.5) -> jnp.ndarray:
+    """Barron general robust loss at alpha=1 (pseudo-Huber):
+    f(x) = sqrt((x/c)^2 + 1) - 1 (robust_loss_pytorch parity at alpha=1)."""
+    return jnp.sqrt((x / scale) ** 2 + 1.0) - 1.0
+
+
+def correspondence_loss(
+    kp_warped_pred: jnp.ndarray,
+    kp_warped_gt: jnp.ndarray,
+    overlap_weights: jnp.ndarray,
+    mask: jnp.ndarray,
+    robust: bool = True,
+    metric: str = "mae",
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Weighted robust correspondence error (correspondence_loss.py:16-51).
+
+    kp_*: [N, 3] (single layer); overlap_weights/mask: [N].
+    """
+    err = kp_warped_pred - kp_warped_gt
+    if robust:
+        err = charbonnier(err)
+    if metric == "mae":
+        per_pt = jnp.sum(jnp.abs(err), axis=-1)
+    else:
+        per_pt = jnp.sum(err**2, axis=-1)
+    w = overlap_weights * mask.astype(jnp.float32)
+    return jnp.sum(w * per_pt) / jnp.maximum(jnp.sum(w), eps)
+
+
+def init_infonce_W(key: jax.Array, d_embed: int = 256, std: float = 0.1) -> jnp.ndarray:
+    return jax.random.normal(key, (d_embed, d_embed)) * std
+
+
+def infonce_loss(
+    W: jnp.ndarray,
+    anchor_feat: jnp.ndarray,
+    positive_feat: jnp.ndarray,
+    anchor_xyz: jnp.ndarray,
+    positive_xyz: jnp.ndarray,
+    anchor_valid: jnp.ndarray,
+    positive_valid: jnp.ndarray,
+    r_p: float = 0.2,
+    r_n: float = 0.4,
+) -> jnp.ndarray:
+    """InfoNCE with learned symmetric bilinear form (feature_loss.py:4-73).
+
+    Positives: nearest neighbor < r_p (after GT transform, applied by the
+    caller to anchor_xyz); an ignore band < r_n excludes near-misses from
+    the denominator (except the positive itself).
+    """
+    W_sym = jnp.triu(W) + jnp.triu(W).T
+    logits = jnp.einsum("ic,cd,jd->ij", anchor_feat, W_sym, positive_feat)
+
+    d = jnp.linalg.norm(
+        anchor_xyz[:, None, :] - positive_xyz[None, :, :], axis=-1
+    )
+    d = jnp.where(positive_valid[None, :], d, jnp.inf)
+    idx1 = jnp.argmin(d, axis=-1)  # nearest positive per anchor
+    dist1 = jnp.take_along_axis(d, idx1[:, None], axis=-1)[:, 0]
+    has_match = (dist1 < r_p) & anchor_valid
+
+    ignore = d < r_n
+    ignore = ignore.at[jnp.arange(d.shape[0]), idx1].set(False)
+    ignore = ignore | ~positive_valid[None, :]
+    masked_logits = jnp.where(ignore, -jnp.inf, logits)
+
+    pos_logit = jnp.take_along_axis(masked_logits, idx1[:, None], axis=-1)[:, 0]
+    loss = -pos_logit + jax.nn.logsumexp(masked_logits, axis=-1)
+    loss = jnp.where(jnp.isfinite(loss), loss, 0.0)
+    return jnp.sum(loss * has_match) / jnp.maximum(jnp.sum(has_match), 1.0)

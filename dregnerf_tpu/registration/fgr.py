@@ -1,0 +1,89 @@
+"""ctypes bindings for the native FGR classical-registration baseline.
+
+Open3D replacement (conerf/geometry/global_registration.py:96-116
+`run_registration`): returns (4x4 pose mapping src->tgt, wall time). The
+shared library is built on demand from native/fgr.cpp with the system g++
+(no pybind11 in this image; plain C ABI + ctypes).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+
+
+def _load_lib() -> Optional[ctypes.CDLL]:
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    so = os.path.abspath(os.path.join(_NATIVE_DIR, "libdregnative.so"))
+    if not os.path.exists(so):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception as e:  # no toolchain: baseline unavailable
+            print(f"[fgr] native build failed: {e}")
+            return None
+    lib = ctypes.CDLL(so)
+    lib.fgr_register.restype = ctypes.c_int
+    lib.fgr_register.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.fpfh_features.restype = ctypes.c_int
+    lib.fpfh_features.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    _LIB = lib
+    return lib
+
+
+def run_registration(
+    src_points: np.ndarray, tgt_points: np.ndarray, voxel_size: float = 0.05
+) -> Tuple[Optional[np.ndarray], float]:
+    """FGR src->tgt. Returns (4x4 float64 or None, seconds)."""
+    lib = _load_lib()
+    if lib is None:
+        return None, 0.0
+    src = np.ascontiguousarray(src_points, np.float64)
+    tgt = np.ascontiguousarray(tgt_points, np.float64)
+    out = np.zeros(16, np.float64)
+    t0 = time.time()
+    rc = lib.fgr_register(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(src),
+        tgt.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(tgt),
+        ctypes.c_double(voxel_size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    dt = time.time() - t0
+    if rc != 0:
+        return None, dt
+    return out.reshape(4, 4), dt
+
+
+def fpfh(points: np.ndarray, voxel_size: float = 0.05) -> Optional[np.ndarray]:
+    """FPFH features of the voxel-downsampled cloud (for tests)."""
+    lib = _load_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points, np.float64)
+    out = np.zeros((len(pts), 33), np.float32)
+    n = lib.fpfh_features(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(pts),
+        ctypes.c_double(voxel_size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if n <= 0:
+        return None
+    return out[: min(n, len(pts))]

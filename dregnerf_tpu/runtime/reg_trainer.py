@@ -1,0 +1,275 @@
+"""Registration (NeRFRegTr) training runtime.
+
+Parity with the reference `RegTrainer` (train_nerf_regtr.py:64-299):
+4 losses with weights {overlap 1, nerf_cont 1, feature 0.1, corr 1},
+AdamW(lr 1e-4, wd 1e-4) + StepLR(34000, 0.5), grad-clip 0.1, RRE/RTE
+validation on a val-scene subsample, checkpoint carries the InfoNCE W.
+
+TPU-first redesign (SURVEY.md §7 step 7): the reference reloads BOTH NGP
+NeRFs from disk inside the loss on EVERY iteration
+(confidence_loss.py:73) — the dominant cost of its trainer. Here the
+visibility labels come from `grid_visibility` — a nearest-voxel gather into
+the voxel_mask artifacts that are already the model's inputs — so the
+ENTIRE train step (forward, 4 losses, AdamW update) is one jitted program
+with no host round-trips. Exact marched visibility stays available
+(losses/visibility.exact_visibility) for parity checks.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dregnerf_tpu.geometry import se3
+from dregnerf_tpu.losses import registration as L
+from dregnerf_tpu.losses.visibility import grid_visibility
+from dregnerf_tpu.models.regtr import NeRFRegTr
+from dregnerf_tpu.runtime.checkpoint import CheckpointManager
+
+LOSS_WEIGHTS = {"overlap": 1.0, "nerf_cont": 1.0, "feature": 0.1, "corr": 1.0}
+
+
+def make_reg_model(config, dtype=jnp.float32) -> NeRFRegTr:
+    return NeRFRegTr(
+        pos_emb_type=config.position_embedding_type,
+        d_model=config.position_embedding_dim,
+        pos_emb_scaling=config.position_embedding_scaling,
+        num_downsample=config.num_downsample,
+        dtype=dtype,
+    )
+
+
+def compute_losses(
+    model: NeRFRegTr,
+    params: Dict[str, Any],
+    batch: Dict[str, jnp.ndarray],
+    aabb: jnp.ndarray,
+    grid_resolution: int,
+    robust: bool = True,
+):
+    """All 4 registration losses; returns (total, dict, pred)."""
+    pred = model.apply({"params": params["model"]}, batch)
+    pose_gt = batch["pose"][:3, :4]  # [3, 4]
+    pose_gt_inv = se3.se3_inv(pose_gt)
+
+    src_kp, tgt_kp = pred["src_kp"], pred["tgt_kp"]  # [N, 3]
+    src_valid = pred["src_valid"]
+    tgt_valid = pred["tgt_valid"]
+    n_layers = pred["src_kp_warped"].shape[0]
+
+    vis = lambda pts, mask_flat: grid_visibility(
+        pts, mask_flat, aabb, grid_resolution
+    )
+    # GT overlap labels: keypoints against their own NeRF's visible-voxel set
+    src_gt = vis(src_kp, batch["src_mask"])  # [N]
+    tgt_gt = vis(tgt_kp, batch["tgt_mask"])
+
+    losses = {}
+    # --- overlap (last layer) ---
+    pred_overlap = jnp.concatenate([pred["src_overlap"][-1], pred["tgt_overlap"][-1]])
+    gt_overlap = jnp.concatenate([src_gt, tgt_gt])
+    both_valid = jnp.concatenate([src_valid, tgt_valid])
+    losses["overlap"] = L.overlap_bce(pred_overlap, gt_overlap, both_valid)
+
+    # --- nerf consistency (all layers; warped kps vs the SAME side's field,
+    #     reference train_nerf_regtr.py:198-201) ---
+    src_tilde = vis(pred["src_kp_warped"], batch["src_mask"])  # [L, N]
+    tgt_tilde = vis(pred["tgt_kp_warped"], batch["tgt_mask"])
+    losses["nerf_cont"] = 0.5 * (
+        L.nerf_consistency(src_tilde, jnp.broadcast_to(src_gt, (n_layers, src_gt.shape[0])), src_valid)
+        + L.nerf_consistency(tgt_tilde, jnp.broadcast_to(tgt_gt, (n_layers, tgt_gt.shape[0])), tgt_valid)
+    )
+
+    # --- feature InfoNCE (last layer feats; src xyz GT-transformed) ---
+    losses["feature"] = L.infonce_loss(
+        params["infonce_W"],
+        pred["src_feats"][-1, 0].astype(jnp.float32),
+        pred["tgt_feats"][-1, 0].astype(jnp.float32),
+        se3.se3_transform(pose_gt, src_kp),
+        tgt_kp,
+        src_valid,
+        tgt_valid,
+    )
+
+    # --- correspondence (last layer, both directions, GT-overlap weighted) ---
+    src_warped_gt = se3.se3_transform(pose_gt, src_kp)
+    tgt_warped_gt = se3.se3_transform(pose_gt_inv, tgt_kp)
+    losses["corr"] = L.correspondence_loss(
+        pred["src_kp_warped"][-1], src_warped_gt, src_gt, src_valid, robust
+    ) + L.correspondence_loss(
+        pred["tgt_kp_warped"][-1], tgt_warped_gt, tgt_gt, tgt_valid, robust
+    )
+
+    total = sum(losses[k] * LOSS_WEIGHTS[k] for k in losses)
+    return total, losses, pred
+
+
+class RegTrainer:
+    def __init__(self, config, train_dataset, val_dataset, output_dir: Optional[str] = None):
+        self.config = config
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.output_dir = output_dir or os.path.join(config.out_dir, config.expname)
+        os.makedirs(self.output_dir, exist_ok=True)
+        self.ckpt_manager = CheckpointManager(os.path.join(self.output_dir, "model"))
+        self.aabb = jnp.asarray(config.aabb, jnp.float32)
+
+        self.model = make_reg_model(config, jnp.bfloat16 if config.bf16 else jnp.float32)
+        key = jax.random.PRNGKey(config.seed)
+        sample = self._to_device(train_dataset[0])
+        self.grid_resolution = int(sample["src_grid"].shape[0])
+        model_params = self.model.init(key, sample)["params"]
+        self.params = {
+            "model": model_params,
+            "infonce_W": L.init_infonce_W(jax.random.fold_in(key, 1),
+                                          config.position_embedding_dim),
+        }
+        self.setup_optimizer()
+        self.iteration = 0
+        self._log_file = open(os.path.join(self.output_dir, "log.txt"), "a")
+        self._step_fn = self._make_step_fn()
+        self._eval_fn = self._make_eval_fn()
+
+    def setup_optimizer(self) -> None:
+        schedule = optax.piecewise_constant_schedule(
+            self.config.lr, {34000 * (i + 1): 0.5 for i in range(4)}
+        )
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(0.1),
+            optax.adamw(schedule, weight_decay=1e-4),
+        )
+        self.opt_state = self.optimizer.init(self.params)
+
+    @staticmethod
+    def _to_device(item: Dict) -> Dict[str, jnp.ndarray]:
+        return {
+            "src_grid": jnp.asarray(item["src_grid"]),
+            "tgt_grid": jnp.asarray(item["tgt_grid"]),
+            "src_mask": jnp.asarray(item["src_mask"]),
+            "tgt_mask": jnp.asarray(item["tgt_mask"]),
+            "pose": jnp.asarray(item["pose"]),
+        }
+
+    def _make_step_fn(self):
+        model = self.model
+        aabb = self.aabb
+        res = self.grid_resolution
+        robust = self.config.robust_loss
+        optimizer = self.optimizer
+
+        @jax.jit
+        def step(params, opt_state, batch):
+            def loss_fn(p):
+                total, losses, pred = compute_losses(model, p, batch, aabb, res, robust)
+                return total, (losses, pred["pose"][-1])
+
+            (total, (losses, pose_pred)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            rre, rte = se3.pose_error(pose_pred, batch["pose"][:3, :4])
+            metrics = {**losses, "total": total, "R_error": rre, "t_error": rte}
+            return params, opt_state, metrics
+
+        return step
+
+    def _make_eval_fn(self):
+        model = self.model
+
+        @jax.jit
+        def ev(params, batch):
+            pred = model.apply({"params": params["model"]}, batch)
+            pose = pred["pose"][-1]
+            rre, rte = se3.pose_error(pose, batch["pose"][:3, :4])
+            return pose, rre, rte
+
+        return ev
+
+    def train_iteration(self, item: Dict) -> Dict[str, float]:
+        batch = self._to_device(item)
+        self.params, self.opt_state, metrics = self._step_fn(
+            self.params, self.opt_state, batch
+        )
+        return metrics
+
+    def train(self) -> None:
+        cfg = self.config
+        max_iterations = cfg.epochs * max(len(self.train_dataset), 1)
+        self.load_checkpoint()
+        rng = np.random.default_rng(cfg.seed)
+        t0 = time.time()
+        score = 0.0
+        while self.iteration < max_iterations:
+            order = rng.permutation(len(self.train_dataset))
+            for i in order:
+                metrics = self.train_iteration(self.train_dataset[int(i)])
+                self.iteration += 1
+                if self.iteration % cfg.n_tensorboard == 0:
+                    self.log_scalars(metrics, time.time() - t0)
+                if self.iteration % cfg.n_validation == 0:
+                    score = self.validate()
+                if self.iteration % cfg.n_checkpoint == 0:
+                    self.save_checkpoint(score)
+                if self.iteration >= max_iterations:
+                    break
+        self.save_checkpoint(score)
+
+    def validate(self, fraction: float = 0.2) -> float:
+        """RRE/RTE on a random val subsample (train_nerf_regtr.py:258-291)."""
+        n = len(self.val_dataset)
+        if n == 0:
+            return 0.0
+        rng = np.random.default_rng(self.iteration)
+        ids = rng.choice(n, max(1, int(n * fraction)), replace=False)
+        rres, rtes = [], []
+        for i in ids:
+            batch = self._to_device(self.val_dataset[int(i)])
+            _, rre, rte = self._eval_fn(self.params, batch)
+            rres.append(float(rre))
+            rtes.append(float(rte))
+        line = (
+            f"[val] iter {self.iteration} RRE {np.mean(rres):.3f} deg "
+            f"(med {np.median(rres):.3f}) RTE {np.mean(rtes):.4f} "
+            f"(med {np.median(rtes):.4f}) over {len(ids)} pairs"
+        )
+        print(line, flush=True)
+        self._log_file.write(line + "\n")
+        self._log_file.flush()
+        return -float(np.mean(rres))
+
+    def log_scalars(self, metrics: Dict, elapsed: float) -> None:
+        line = f"iter {self.iteration} | " + " | ".join(
+            f"{k} {float(v):.4f}" for k, v in metrics.items()
+        ) + f" | {elapsed:.1f}s"
+        print(line, flush=True)
+        self._log_file.write(line + "\n")
+        self._log_file.flush()
+
+    def save_checkpoint(self, score: float = 0.0) -> None:
+        state = {"params": self.params, "optimizer": self.opt_state}
+        meta = {
+            "aabb": np.asarray(self.aabb).tolist(),
+            "grid_resolution": self.grid_resolution,
+            "d_model": self.config.position_embedding_dim,
+            "num_downsample": self.config.num_downsample,
+        }
+        self.ckpt_manager.save(self.iteration, state, meta, score)
+
+    def load_checkpoint(self) -> None:
+        templates = {"params": self.params, "optimizer": self.opt_state}
+        loaded = self.ckpt_manager.load(templates, path=self.config.ckpt_path)
+        if loaded is None:
+            return
+        state, meta = loaded
+        self.params = state["params"]
+        if not self.config.no_load_opt:
+            self.opt_state = state["optimizer"]
+        self.iteration = int(meta["step"])
+        print(f"resumed RegTrainer from iteration {self.iteration}", flush=True)

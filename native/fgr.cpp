@@ -1,0 +1,422 @@
+// Fast Global Registration (FGR) — native C++ classical-registration baseline.
+//
+// Open3D replacement for the reference's FPFH + FGR pipeline
+// (conerf/geometry/global_registration.py:69-116): voxel downsample ->
+// normal estimation -> FPFH features -> reciprocal nearest-neighbor
+// correspondences with tuple test -> graduated non-convexity over a scaled
+// Geman-McClure objective solved by Gauss-Newton on se(3).
+//
+// Exposed as a C ABI for ctypes (dregnerf_tpu/registration/fgr.py). Host
+// CPU only — this is the evaluation baseline, not on the TPU path.
+//
+// References: Zhou, Park, Koltun, "Fast Global Registration", ECCV 2016;
+// Rusu et al., "Fast Point Feature Histograms", ICRA 2009.
+
+#include <algorithm>
+#include <array>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <map>
+#include <random>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Vec3 {
+  double x = 0, y = 0, z = 0;
+  Vec3() = default;
+  Vec3(double a, double b, double c) : x(a), y(b), z(c) {}
+  Vec3 operator+(const Vec3 &o) const { return {x + o.x, y + o.y, z + o.z}; }
+  Vec3 operator-(const Vec3 &o) const { return {x - o.x, y - o.y, z - o.z}; }
+  Vec3 operator*(double s) const { return {x * s, y * s, z * s}; }
+  double dot(const Vec3 &o) const { return x * o.x + y * o.y + z * o.z; }
+  Vec3 cross(const Vec3 &o) const {
+    return {y * o.z - z * o.y, z * o.x - x * o.z, x * o.y - y * o.x};
+  }
+  double norm() const { return std::sqrt(dot(*this)); }
+  Vec3 normalized() const {
+    double n = norm();
+    return n > 1e-12 ? Vec3{x / n, y / n, z / n} : Vec3{0, 0, 1};
+  }
+};
+
+// ---------------------------------------------------------------- grid hash
+struct GridHash {
+  double cell;
+  std::unordered_map<uint64_t, std::vector<int>> cells;
+  const std::vector<Vec3> *pts;
+
+  static uint64_t key(int64_t ix, int64_t iy, int64_t iz) {
+    return (uint64_t(ix & 0x1FFFFF) << 42) | (uint64_t(iy & 0x1FFFFF) << 21) |
+           uint64_t(iz & 0x1FFFFF);
+  }
+
+  void build(const std::vector<Vec3> &points, double cell_size) {
+    pts = &points;
+    cell = cell_size;
+    cells.clear();
+    for (int i = 0; i < (int)points.size(); ++i) {
+      const Vec3 &p = points[i];
+      cells[key((int64_t)std::floor(p.x / cell), (int64_t)std::floor(p.y / cell),
+                (int64_t)std::floor(p.z / cell))]
+          .push_back(i);
+    }
+  }
+
+  // indices within radius r (r should be <= cell for the 27-cell sweep)
+  void radius(const Vec3 &q, double r, std::vector<int> &out) const {
+    out.clear();
+    int64_t cx = (int64_t)std::floor(q.x / cell);
+    int64_t cy = (int64_t)std::floor(q.y / cell);
+    int64_t cz = (int64_t)std::floor(q.z / cell);
+    int64_t reach = (int64_t)std::ceil(r / cell);
+    double r2 = r * r;
+    for (int64_t dx = -reach; dx <= reach; ++dx)
+      for (int64_t dy = -reach; dy <= reach; ++dy)
+        for (int64_t dz = -reach; dz <= reach; ++dz) {
+          auto it = cells.find(key(cx + dx, cy + dy, cz + dz));
+          if (it == cells.end()) continue;
+          for (int i : it->second) {
+            Vec3 d = (*pts)[i] - q;
+            if (d.dot(d) <= r2) out.push_back(i);
+          }
+        }
+  }
+};
+
+// ------------------------------------------------------------- downsample
+std::vector<Vec3> voxel_downsample(const double *xyz, int n, double voxel) {
+  std::unordered_map<uint64_t, std::pair<Vec3, int>> acc;
+  acc.reserve(n);
+  for (int i = 0; i < n; ++i) {
+    Vec3 p{xyz[3 * i], xyz[3 * i + 1], xyz[3 * i + 2]};
+    uint64_t k = GridHash::key((int64_t)std::floor(p.x / voxel),
+                               (int64_t)std::floor(p.y / voxel),
+                               (int64_t)std::floor(p.z / voxel));
+    auto &slot = acc[k];
+    slot.first = slot.first + p;
+    slot.second += 1;
+  }
+  std::vector<Vec3> out;
+  out.reserve(acc.size());
+  for (auto &kv : acc) out.push_back(kv.second.first * (1.0 / kv.second.second));
+  return out;
+}
+
+// ----------------------------------------------------------------- normals
+std::vector<Vec3> estimate_normals(const std::vector<Vec3> &pts,
+                                   const GridHash &grid, double radius) {
+  std::vector<Vec3> normals(pts.size());
+  std::vector<int> nbr;
+  for (size_t i = 0; i < pts.size(); ++i) {
+    grid.radius(pts[i], radius, nbr);
+    if (nbr.size() < 3) {
+      normals[i] = {0, 0, 1};
+      continue;
+    }
+    Vec3 mean{0, 0, 0};
+    for (int j : nbr) mean = mean + pts[j];
+    mean = mean * (1.0 / nbr.size());
+    double C[6] = {0, 0, 0, 0, 0, 0};  // xx xy xz yy yz zz
+    for (int j : nbr) {
+      Vec3 d = pts[j] - mean;
+      C[0] += d.x * d.x; C[1] += d.x * d.y; C[2] += d.x * d.z;
+      C[3] += d.y * d.y; C[4] += d.y * d.z; C[5] += d.z * d.z;
+    }
+    // smallest-eigenvector via inverse power iteration on (C + eps I)^-1 ~
+    // use explicit 3x3 eigen decomposition (Jacobi, few sweeps)
+    double A[3][3] = {{C[0], C[1], C[2]}, {C[1], C[3], C[4]}, {C[2], C[4], C[5]}};
+    double V[3][3] = {{1, 0, 0}, {0, 1, 0}, {0, 0, 1}};
+    for (int sweep = 0; sweep < 12; ++sweep) {
+      for (int p = 0; p < 2; ++p)
+        for (int q = p + 1; q < 3; ++q) {
+          if (std::fabs(A[p][q]) < 1e-15) continue;
+          double theta = 0.5 * std::atan2(2 * A[p][q], A[q][q] - A[p][p]);
+          double c = std::cos(theta), s = std::sin(theta);
+          for (int k = 0; k < 3; ++k) {
+            double apk = A[p][k], aqk = A[q][k];
+            A[p][k] = c * apk - s * aqk;
+            A[q][k] = s * apk + c * aqk;
+          }
+          for (int k = 0; k < 3; ++k) {
+            double akp = A[k][p], akq = A[k][q];
+            A[k][p] = c * akp - s * akq;
+            A[k][q] = s * akp + c * akq;
+            double vkp = V[k][p], vkq = V[k][q];
+            V[k][p] = c * vkp - s * vkq;
+            V[k][q] = s * vkp + c * vkq;
+          }
+        }
+    }
+    int mi = 0;
+    double mv = A[0][0];
+    for (int k = 1; k < 3; ++k)
+      if (A[k][k] < mv) { mv = A[k][k]; mi = k; }
+    normals[i] = Vec3{V[0][mi], V[1][mi], V[2][mi]}.normalized();
+  }
+  return normals;
+}
+
+// -------------------------------------------------------------------- FPFH
+// 33-dim FPFH: 3 x 11-bin histograms of (alpha, phi, theta) Darboux angles,
+// SPFH weighted-summed over neighbors.
+void compute_spfh(const std::vector<Vec3> &pts, const std::vector<Vec3> &normals,
+                  const GridHash &grid, double radius,
+                  std::vector<std::array<float, 33>> &spfh,
+                  std::vector<std::vector<int>> &neighbors) {
+  const int B = 11;
+  spfh.assign(pts.size(), {});
+  neighbors.assign(pts.size(), {});
+  std::vector<int> nbr;
+  for (size_t i = 0; i < pts.size(); ++i) {
+    grid.radius(pts[i], radius, nbr);
+    auto &h = spfh[i];
+    int cnt = 0;
+    for (int j : nbr) {
+      if ((size_t)j == i) continue;
+      neighbors[i].push_back(j);
+      Vec3 d = pts[j] - pts[i];
+      double dist = d.norm();
+      if (dist < 1e-12) continue;
+      Vec3 dn = d * (1.0 / dist);
+      const Vec3 &n1 = normals[i], &n2 = normals[j];
+      Vec3 u = n1;
+      Vec3 v = dn.cross(u).normalized();
+      Vec3 w = u.cross(v);
+      double alpha = v.dot(n2);                       // [-1, 1]
+      double phi = u.dot(dn);                         // [-1, 1]
+      double theta = std::atan2(w.dot(n2), u.dot(n2));  // [-pi, pi]
+      int b0 = std::min(B - 1, (int)((alpha + 1.0) * 0.5 * B));
+      int b1 = std::min(B - 1, (int)((phi + 1.0) * 0.5 * B));
+      int b2 = std::min(B - 1, (int)((theta + M_PI) / (2 * M_PI) * B));
+      h[b0] += 1; h[B + b1] += 1; h[2 * B + b2] += 1;
+      ++cnt;
+    }
+    if (cnt > 0)
+      for (auto &x : h) x /= cnt;
+  }
+}
+
+std::vector<std::array<float, 33>> compute_fpfh(
+    const std::vector<Vec3> &pts, const std::vector<Vec3> &normals,
+    const GridHash &grid, double radius) {
+  std::vector<std::array<float, 33>> spfh;
+  std::vector<std::vector<int>> neighbors;
+  compute_spfh(pts, normals, grid, radius, spfh, neighbors);
+  std::vector<std::array<float, 33>> fpfh(pts.size(), std::array<float, 33>{});
+  for (size_t i = 0; i < pts.size(); ++i) {
+    auto &f = fpfh[i];
+    f = spfh[i];
+    double wsum = 1.0;
+    for (int j : neighbors[i]) {
+      double w = (pts[j] - pts[i]).norm();
+      if (w < 1e-12) continue;
+      w = 1.0 / w;
+      for (int k = 0; k < 33; ++k) f[k] += (float)(w * spfh[j][k]);
+      wsum += w;
+    }
+    for (int k = 0; k < 33; ++k) f[k] /= (float)wsum;
+  }
+  return fpfh;
+}
+
+// -------------------------------------------------- feature nearest neighbor
+int nn_feature(const std::array<float, 33> &q,
+               const std::vector<std::array<float, 33>> &feats) {
+  int best = -1;
+  float bd = 1e30f;
+  for (size_t i = 0; i < feats.size(); ++i) {
+    float d = 0;
+    for (int k = 0; k < 33; ++k) {
+      float t = q[k] - feats[i][k];
+      d += t * t;
+      if (d >= bd) break;
+    }
+    if (d < bd) { bd = d; best = (int)i; }
+  }
+  return best;
+}
+
+// -------------------------------------------------------------- 6x6 solver
+bool solve66(double A[6][6], double b[6], double x[6]) {
+  int idx[6] = {0, 1, 2, 3, 4, 5};
+  for (int c = 0; c < 6; ++c) {
+    int piv = c;
+    for (int r = c + 1; r < 6; ++r)
+      if (std::fabs(A[r][c]) > std::fabs(A[piv][c])) piv = r;
+    if (std::fabs(A[piv][c]) < 1e-12) return false;
+    std::swap(A[c], A[piv]);
+    std::swap(b[c], b[piv]);
+    (void)idx;
+    for (int r = c + 1; r < 6; ++r) {
+      double f = A[r][c] / A[c][c];
+      for (int k = c; k < 6; ++k) A[r][k] -= f * A[c][k];
+      b[r] -= f * b[c];
+    }
+  }
+  for (int c = 5; c >= 0; --c) {
+    double s = b[c];
+    for (int k = c + 1; k < 6; ++k) s -= A[c][k] * x[k];
+    x[c] = s / A[c][c];
+  }
+  return true;
+}
+
+void apply_T(const double T[16], const Vec3 &p, Vec3 &out) {
+  out.x = T[0] * p.x + T[1] * p.y + T[2] * p.z + T[3];
+  out.y = T[4] * p.x + T[5] * p.y + T[6] * p.z + T[7];
+  out.z = T[8] * p.x + T[9] * p.y + T[10] * p.z + T[11];
+}
+
+void compose_se3(const double xi[6], double T[16]) {
+  // first-order update composed exactly via Rodrigues
+  Vec3 w{xi[0], xi[1], xi[2]};
+  double th = w.norm();
+  double R[9];
+  if (th < 1e-12) {
+    R[0] = 1; R[1] = 0; R[2] = 0; R[3] = 0; R[4] = 1; R[5] = 0;
+    R[6] = 0; R[7] = 0; R[8] = 1;
+  } else {
+    Vec3 a = w * (1.0 / th);
+    double c = std::cos(th), s = std::sin(th), C = 1 - c;
+    R[0] = c + a.x * a.x * C;       R[1] = a.x * a.y * C - a.z * s; R[2] = a.x * a.z * C + a.y * s;
+    R[3] = a.y * a.x * C + a.z * s; R[4] = c + a.y * a.y * C;       R[5] = a.y * a.z * C - a.x * s;
+    R[6] = a.z * a.x * C - a.y * s; R[7] = a.z * a.y * C + a.x * s; R[8] = c + a.z * a.z * C;
+  }
+  double Tn[16] = {R[0], R[1], R[2], xi[3], R[3], R[4], R[5], xi[4],
+                   R[6], R[7], R[8], xi[5], 0, 0, 0, 1};
+  double Told[16];
+  std::memcpy(Told, T, sizeof(Told));
+  for (int r = 0; r < 4; ++r)
+    for (int c = 0; c < 4; ++c) {
+      double s = 0;
+      for (int k = 0; k < 4; ++k) s += Tn[4 * r + k] * Told[4 * k + c];
+      T[4 * r + c] = s;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Register src onto tgt: out_T (row-major 4x4) maps src points into tgt.
+// Returns 0 on success, <0 on failure.
+int fgr_register(const double *src_xyz, int n_src, const double *tgt_xyz,
+                 int n_tgt, double voxel_size, double *out_T) {
+  if (n_src < 10 || n_tgt < 10) return -1;
+  auto src = voxel_downsample(src_xyz, n_src, voxel_size);
+  auto tgt = voxel_downsample(tgt_xyz, n_tgt, voxel_size);
+  if (src.size() < 10 || tgt.size() < 10) return -2;
+
+  double normal_r = voxel_size * 2.0;
+  double feature_r = voxel_size * 5.0;
+
+  GridHash gs, gt;
+  gs.build(src, feature_r);
+  gt.build(tgt, feature_r);
+  auto ns = estimate_normals(src, gs, normal_r);
+  auto nt = estimate_normals(tgt, gt, normal_r);
+  auto fs = compute_fpfh(src, ns, gs, feature_r);
+  auto ft = compute_fpfh(tgt, nt, gt, feature_r);
+
+  // reciprocal nearest-neighbor correspondences
+  std::vector<std::pair<int, int>> corr;
+  std::vector<int> t_for_s(src.size());
+  for (size_t i = 0; i < src.size(); ++i) t_for_s[i] = nn_feature(fs[i], ft);
+  std::vector<int> s_for_t(tgt.size());
+  for (size_t j = 0; j < tgt.size(); ++j) s_for_t[j] = nn_feature(ft[j], fs);
+  for (size_t i = 0; i < src.size(); ++i) {
+    int j = t_for_s[i];
+    if (j >= 0 && s_for_t[j] == (int)i) corr.push_back({(int)i, j});
+  }
+  if (corr.size() < 10) return -3;
+
+  // tuple test (FGR sec 3.3): keep correspondences appearing in compatible
+  // random triplets
+  std::mt19937 rng(0);
+  std::uniform_int_distribution<int> pick(0, (int)corr.size() - 1);
+  std::vector<char> keep(corr.size(), 0);
+  const double tau = 0.9;
+  int found = 0;
+  for (int it = 0; it < (int)corr.size() * 30 && found < 3000; ++it) {
+    int a = pick(rng), b = pick(rng), c = pick(rng);
+    if (a == b || b == c || a == c) continue;
+    auto ok = [&](int u, int v) {
+      double ds = (src[corr[u].first] - src[corr[v].first]).norm();
+      double dt = (tgt[corr[u].second] - tgt[corr[v].second]).norm();
+      if (ds < 1e-9 || dt < 1e-9) return false;
+      double r = ds / dt;
+      return r > tau && r < 1.0 / tau;
+    };
+    if (ok(a, b) && ok(b, c) && ok(a, c)) {
+      for (int u : {a, b, c})
+        if (!keep[u]) { keep[u] = 1; ++found; }
+    }
+  }
+  std::vector<std::pair<int, int>> corr2;
+  for (size_t i = 0; i < corr.size(); ++i)
+    if (keep[i]) corr2.push_back(corr[i]);
+  if (corr2.size() < 10) corr2 = corr;  // fall back to all correspondences
+
+  // graduated non-convexity over scaled Geman-McClure, Gauss-Newton steps
+  double T[16] = {1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1};
+  double max_dist = voxel_size * 20.0;
+  double mu = max_dist * max_dist;
+  const int outer = 64;
+  for (int it = 0; it < outer; ++it) {
+    if (it > 0 && it % 4 == 0) mu = std::max(mu / 1.4, voxel_size * voxel_size * 0.25);
+    double A[6][6] = {}, b[6] = {};
+    for (auto &pr : corr2) {
+      Vec3 ps;
+      apply_T(T, src[pr.first], ps);
+      Vec3 q = tgt[pr.second];
+      Vec3 r = ps - q;
+      double r2 = r.dot(r);
+      double w = mu / ((mu + r2) * (mu + r2)) * mu;  // GM weight (l_{p,q})
+      // J = [ -[ps]x | I ] per row; accumulate J^T W J and J^T W r
+      double J[3][6] = {{0, ps.z, -ps.y, 1, 0, 0},
+                        {-ps.z, 0, ps.x, 0, 1, 0},
+                        {ps.y, -ps.x, 0, 0, 0, 1}};
+      double res[3] = {r.x, r.y, r.z};
+      for (int a2 = 0; a2 < 6; ++a2) {
+        for (int b2 = 0; b2 < 6; ++b2) {
+          double s = 0;
+          for (int k = 0; k < 3; ++k) s += J[k][a2] * J[k][b2];
+          A[a2][b2] += w * s;
+        }
+        double s = 0;
+        for (int k = 0; k < 3; ++k) s += J[k][a2] * res[k];
+        b[a2] += w * s;
+      }
+    }
+    for (int d = 0; d < 6; ++d) A[d][d] += 1e-9;
+    double xi[6];
+    double nb[6];
+    for (int d = 0; d < 6; ++d) nb[d] = -b[d];
+    if (!solve66(A, nb, xi)) break;
+    compose_se3(xi, T);
+    double step = 0;
+    for (int d = 0; d < 6; ++d) step += xi[d] * xi[d];
+    if (step < 1e-14) break;
+  }
+  std::memcpy(out_T, T, sizeof(T));
+  return 0;
+}
+
+// FPFH features for external use (testing): out must hold n*33 floats.
+int fpfh_features(const double *xyz, int n, double voxel_size, float *out) {
+  auto pts = voxel_downsample(xyz, n, voxel_size);
+  GridHash g;
+  double feature_r = voxel_size * 5.0;
+  g.build(pts, feature_r);
+  auto normals = estimate_normals(pts, g, voxel_size * 2.0);
+  auto f = compute_fpfh(pts, normals, g, feature_r);
+  int m = std::min((int)f.size(), n);
+  for (int i = 0; i < m; ++i)
+    for (int k = 0; k < 33; ++k) out[i * 33 + k] = f[i][k];
+  return (int)f.size();
+}
+
+}  // extern "C"

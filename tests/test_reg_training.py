@@ -1,0 +1,276 @@
+"""Registration losses + pair dataset + RegTrainer end-to-end (synthetic).
+
+Builds a synthetic nerf_models directory (voxel_grid.pt / voxel_mask.pt /
+world_frame_transforms.json for two blocks of one scene) without training
+NeRFs, then drives the full RegTrainer loop.
+"""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dregnerf_tpu.losses import registration as L
+
+R_GRID = 16
+
+
+def make_block_artifacts(block_dir, rng, transform, base_points):
+    """Write voxel artifacts for a block whose world frame is `transform`."""
+    import torch
+
+    os.makedirs(block_dir, exist_ok=True)
+    pts = base_points @ transform[:3, :3].T + transform[:3, 3]
+    aabb_lo, aabb_hi = -1.5, 1.5
+    u = (pts - aabb_lo) / (aabb_hi - aabb_lo)
+    idx3 = np.clip((u * R_GRID).astype(int), 0, R_GRID - 1)
+    flat = idx3[:, 0] * R_GRID**2 + idx3[:, 1] * R_GRID + idx3[:, 2]
+    flat = np.unique(flat)
+    grid = np.zeros((R_GRID**3, 7), np.float32)
+    ix, iy, iz = flat // R_GRID**2, (flat // R_GRID) % R_GRID, flat % R_GRID
+    centers = (np.stack([ix, iy, iz], -1) + 0.5) / R_GRID * (aabb_hi - aabb_lo) + aabb_lo
+    grid[flat, :3] = centers
+    grid[flat, 3:6] = rng.uniform(size=(len(flat), 3))
+    grid[flat, 6] = 1.0
+    torch.save(torch.from_numpy(grid.reshape(R_GRID, R_GRID, R_GRID, 7)),
+               os.path.join(block_dir, "voxel_grid.pt"))
+    torch.save(torch.from_numpy(flat.astype(np.int64)),
+               os.path.join(block_dir, "voxel_mask.pt"))
+    from dregnerf_tpu.io.ply import write_ply
+
+    write_ply(os.path.join(block_dir, "voxel_point_cloud.ply"),
+              grid[flat, :3], grid[flat, 3:6])
+    # minimal model.ckpt stand-in (the fast path never loads it)
+    with open(os.path.join(block_dir, "model.ckpt"), "wb") as f:
+        f.write(b"stub")
+
+
+@pytest.fixture(scope="module")
+def pair_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("regdata")
+    rng = np.random.default_rng(0)
+    scene = "test_scene"
+    # asymmetric base shape
+    sph = rng.normal(size=(800, 3))
+    sph /= np.linalg.norm(sph, axis=1, keepdims=True)
+    base = np.vstack([
+        sph * np.array([0.5, 0.3, 0.2]),
+        rng.normal(size=(200, 3)) * 0.05 + np.array([0.45, 0.25, 0.1]),
+    ])
+    from dregnerf_tpu.datasets.base import random_se3_np
+
+    transforms = {0: random_se3_np(rng), 1: random_se3_np(rng)}
+    img_dir = os.path.join(root, "images", scene)
+    os.makedirs(img_dir, exist_ok=True)
+    with open(os.path.join(img_dir, "world_frame_transforms.json"), "w") as f:
+        json.dump({str(k): v.tolist() for k, v in transforms.items()}, f)
+    for k, T in transforms.items():
+        make_block_artifacts(
+            os.path.join(root, "nerf_models", scene, f"block_{k}"), rng, T, base
+        )
+    return str(root), scene, transforms
+
+
+class TestLosses:
+    def test_overlap_bce_masked(self):
+        pred = jnp.array([0.9, 0.1, 0.5, 0.5])
+        gt = jnp.array([1.0, 0.0, 1.0, 0.0])
+        mask = jnp.array([True, True, False, False])
+        loss = L.overlap_bce(pred, gt, mask)
+        expected = -np.log(0.9)
+        np.testing.assert_allclose(loss, expected, atol=1e-5)
+
+    def test_charbonnier_limits(self):
+        np.testing.assert_allclose(L.charbonnier(jnp.array(0.0)), 0.0)
+        big = float(L.charbonnier(jnp.array(10.0), scale=0.5))
+        np.testing.assert_allclose(big, np.sqrt(401) - 1, rtol=1e-5)
+
+    def test_correspondence_loss_zero_at_gt(self, rng):
+        kp = jnp.asarray(rng.normal(size=(32, 3)), jnp.float32)
+        w = jnp.ones(32)
+        m = jnp.ones(32, bool)
+        loss = L.correspondence_loss(kp, kp, w, m)
+        np.testing.assert_allclose(loss, 0.0, atol=1e-6)
+
+    def test_infonce_identifies_matches(self, key, rng):
+        """With features equal across clouds and W=I-ish, loss should beat
+        the random-W case."""
+        n, d = 64, 16
+        feats = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        xyz = jnp.asarray(rng.uniform(-1, 1, (n, 3)), jnp.float32)
+        valid = jnp.ones(n, bool)
+        W_good = jnp.eye(d) * 3.0
+        W_rand = jnp.asarray(rng.normal(size=(d, d)) * 0.01, jnp.float32)
+        l_good = L.infonce_loss(W_good, feats, feats, xyz, xyz, valid, valid)
+        l_rand = L.infonce_loss(W_rand, feats, feats, xyz, xyz, valid, valid)
+        assert float(l_good) < float(l_rand)
+
+    def test_infonce_no_matches_is_finite(self, rng):
+        feats = jnp.asarray(rng.normal(size=(8, 4)), jnp.float32)
+        a = jnp.zeros((8, 3))
+        b = jnp.ones((8, 3)) * 100.0  # nothing within r_p
+        valid = jnp.ones(8, bool)
+        loss = L.infonce_loss(jnp.eye(4), feats, feats, a, b, valid, valid)
+        assert np.isfinite(float(loss))
+
+    def test_grid_visibility_lookup(self):
+        from dregnerf_tpu.losses.visibility import grid_visibility
+
+        r = 8
+        mask = np.zeros(r**3, bool)
+        mask[0] = True  # voxel (0,0,0)
+        aabb = jnp.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+        inside = jnp.array([[-0.9, -0.9, -0.9]])  # voxel 0
+        outside = jnp.array([[0.9, 0.9, 0.9], [5.0, 0.0, 0.0]])
+        assert float(grid_visibility(inside, jnp.asarray(mask), aabb, r)[0]) == 1.0
+        np.testing.assert_allclose(
+            grid_visibility(outside, jnp.asarray(mask), aabb, r), [0.0, 0.0]
+        )
+
+
+class TestPairDataset:
+    def test_loads_pair_with_gt_pose(self, pair_root):
+        from dregnerf_tpu.datasets.register_pairs import NeRFRegDataset
+
+        root, scene, transforms = pair_root
+        ds = NeRFRegDataset(root, subject_id=scene, split="test")
+        assert len(ds) == 1
+        item = ds[0]
+        assert item["src_grid"].shape == (R_GRID, R_GRID, R_GRID, 7)
+        assert item["src_mask"].shape == (R_GRID**3,)
+        b0, b1 = item["block_list"]
+        expected = transforms[b1] @ np.linalg.inv(transforms[b0])
+        np.testing.assert_allclose(item["pose"], expected, atol=1e-5)
+
+    def test_gt_pose_aligns_points(self, pair_root):
+        """pose must map src voxel points onto the tgt block's frame."""
+        from dregnerf_tpu.datasets.register_pairs import NeRFRegDataset
+
+        root, scene, _ = pair_root
+        ds = NeRFRegDataset(root, subject_id=scene, split="test")
+        item = ds[0]
+        src_pts = item["src_grid"].reshape(-1, 7)[item["src_mask"], :3]
+        tgt_pts = item["tgt_grid"].reshape(-1, 7)[item["tgt_mask"], :3]
+        pose = item["pose"]
+        warped = src_pts @ pose[:3, :3].T + pose[:3, 3]
+        # chamfer-ish: each warped point has a near tgt neighbor (voxel res)
+        d = np.linalg.norm(warped[:, None] - tgt_pts[None], axis=-1).min(1)
+        assert np.median(d) < 0.35  # ~voxel diagonal at R=16 over [-1.5,1.5]
+
+    def test_train_augmentation_consistency(self, pair_root):
+        """After jitter+perturb+swap the adjusted pose must still align."""
+        from dregnerf_tpu.datasets.register_pairs import NeRFRegDataset
+
+        root, scene, _ = pair_root
+        ds = NeRFRegDataset(root, subject_id=scene, split="train", seed=3)
+        item = ds[0]
+        src_pts = item["src_grid"].reshape(-1, 7)[item["src_mask"], :3]
+        tgt_pts = item["tgt_grid"].reshape(-1, 7)[item["tgt_mask"], :3]
+        pose = item["pose"]
+        warped = src_pts @ pose[:3, :3].T + pose[:3, 3]
+        d = np.linalg.norm(warped[:, None] - tgt_pts[None], axis=-1).min(1)
+        assert np.median(d) < 0.4
+
+
+class TestRegTrainerLoop:
+    @pytest.fixture(scope="class")
+    def trainer(self, pair_root):
+        from dregnerf_tpu.datasets.register_pairs import NeRFRegDataset
+        from dregnerf_tpu.runtime import reg_trainer as RT
+        from dregnerf_tpu.runtime.config import config_parser
+
+        root, scene, _ = pair_root
+        out = os.path.join(root, "out")
+        cfg = config_parser([
+            "--dataset", "objaverse", "--root_dir", root, "--expname", "regsmoke",
+            "--out_dir", out, "--position_embedding_dim", "64",
+            "--num_downsample", "3", "--no_bf16", "--compilation_cache", "",
+            "--n_tensorboard", "5", "--n_validation", "1000", "--n_checkpoint", "6",
+            "--epochs", "6", "--robust_loss",
+        ])
+        train_ds = NeRFRegDataset(root, subject_id=scene, split="train", seed=1)
+        val_ds = NeRFRegDataset(root, subject_id=scene, split="test", seed=1)
+
+        # shrink the model for CPU
+        import jax.numpy as jnp
+        from dregnerf_tpu.models.regtr import NeRFRegTr
+
+        tr = RT.RegTrainer.__new__(RT.RegTrainer)
+        tr.config = cfg
+        tr.train_dataset = train_ds
+        tr.val_dataset = val_ds
+        tr.output_dir = os.path.join(out, "regsmoke")
+        os.makedirs(tr.output_dir, exist_ok=True)
+        from dregnerf_tpu.runtime.checkpoint import CheckpointManager
+
+        tr.ckpt_manager = CheckpointManager(os.path.join(tr.output_dir, "model"))
+        tr.aabb = jnp.asarray(cfg.aabb, jnp.float32)
+        tr.model = NeRFRegTr(
+            backbone="resnet18", d_model=64, num_layers=2, num_heads=4,
+            dim_feedforward=128, max_input_points=512, num_tokens=128,
+            max_points=100, num_downsample=3, dtype=jnp.float32,
+        )
+        key = jax.random.PRNGKey(0)
+        sample = tr._to_device(train_ds[0])
+        tr.grid_resolution = int(sample["src_grid"].shape[0])
+        tr.params = {
+            "model": tr.model.init(key, sample)["params"],
+            "infonce_W": L.init_infonce_W(key, 64),
+        }
+        tr.setup_optimizer()
+        tr.iteration = 0
+        tr._log_file = open(os.path.join(tr.output_dir, "log.txt"), "a")
+        tr._step_fn = tr._make_step_fn()
+        tr._eval_fn = tr._make_eval_fn()
+        return tr
+
+    def test_loss_decreases(self, trainer):
+        first = None
+        for i in range(6):
+            m = trainer.train_iteration(trainer.train_dataset[0])
+            total = float(m["total"])
+            assert np.isfinite(total)
+            if first is None:
+                first = total
+        assert total < first * 1.5  # noisy single-pair training; no explosion
+
+    def test_metrics_present(self, trainer):
+        m = trainer.train_iteration(trainer.train_dataset[0])
+        for k in ("overlap", "nerf_cont", "feature", "corr", "total", "R_error"):
+            assert k in m
+
+    def test_validate_and_checkpoint(self, trainer):
+        score = trainer.validate(fraction=1.0)
+        assert np.isfinite(score)
+        trainer.iteration = 6
+        trainer.save_checkpoint(score)
+        assert os.path.exists(os.path.join(trainer.output_dir, "model", "model.ckpt"))
+        # resume round-trip
+        trainer.load_checkpoint()
+        assert trainer.iteration == 6
+
+
+class TestFGRBaseline:
+    def test_fgr_recovers_pose(self, rng):
+        from dregnerf_tpu.registration.fgr import run_registration
+
+        sph = rng.normal(size=(1000, 3))
+        sph /= np.linalg.norm(sph, axis=1, keepdims=True)
+        pts = np.vstack([
+            sph * np.array([0.5, 0.3, 0.2]),
+            rng.normal(size=(300, 3)) * 0.05 + np.array([0.45, 0.25, 0.1]),
+        ])
+        from scipy.spatial.transform import Rotation as R
+
+        T = np.eye(4)
+        T[:3, :3] = R.from_euler("xyz", [20, -35, 50], degrees=True).as_matrix()
+        T[:3, 3] = [0.2, -0.1, 0.3]
+        tgt = pts @ T[:3, :3].T + T[:3, 3]
+        est, dt = run_registration(pts, tgt, voxel_size=0.03)
+        assert est is not None
+        rre = np.degrees(np.arccos(np.clip(
+            (np.trace(est[:3, :3].T @ T[:3, :3]) - 1) / 2, -1, 1)))
+        assert rre < 5.0
+        assert np.linalg.norm(est[:3, 3] - T[:3, 3]) < 0.05
