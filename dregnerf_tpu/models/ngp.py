@@ -26,6 +26,12 @@ import jax.numpy as jnp
 from dregnerf_tpu.ops.activation import density_activation
 from dregnerf_tpu.ops.contraction import contract_aabb, contract_unisphere
 from dregnerf_tpu.ops.hash_encoding import HashGridConfig, hash_encode, init_hash_table
+from dregnerf_tpu.ops.packed_grid import (
+    PackedGridConfig,
+    init_packed_grid,
+    pack_table,
+    packed_encode,
+)
 from dregnerf_tpu.ops.sh import sh_encode
 
 Params = Dict[str, Any]
@@ -33,7 +39,11 @@ Params = Dict[str, Any]
 
 @dataclasses.dataclass(frozen=True)
 class NGPConfig:
-    grid: HashGridConfig = HashGridConfig()
+    """`grid` selects the encoder by type: PackedGridConfig (default — the
+    TPU-fast one-gather-per-level layout, ops/packed_grid.py) or
+    HashGridConfig (instant-ngp xor-hash reference path)."""
+
+    grid: Any = PackedGridConfig()
     geo_feat_dim: int = 15
     hidden_dim: int = 64
     sh_degree: int = 4
@@ -57,11 +67,35 @@ def _dense_init(key: jax.Array, shape, dtype=jnp.float32) -> jnp.ndarray:
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+def _init_table(key: jax.Array, config: NGPConfig) -> jnp.ndarray:
+    if isinstance(config.grid, PackedGridConfig):
+        return init_packed_grid(key, config.grid)
+    return init_hash_table(key, config.grid)
+
+
+def _encode(params: Params, u: jnp.ndarray, config: NGPConfig) -> jnp.ndarray:
+    if isinstance(config.grid, PackedGridConfig):
+        packed = params.get("packed_table")
+        if packed is None:
+            packed = pack_table(params["table"], config.grid)
+        return packed_encode(packed, u, config.grid)
+    return hash_encode(params["table"], u, config.grid)
+
+
+def prepare_params(params: Params, config: NGPConfig) -> Params:
+    """Precompute the packed table once (inference loops: avoids re-packing
+    inside every lax.map chunk). Training packs inside the jitted step so
+    gradients flow to the vertex table."""
+    if isinstance(config.grid, PackedGridConfig) and "packed_table" not in params:
+        return dict(params, packed_table=pack_table(params["table"], config.grid))
+    return params
+
+
 def init_ngp(key: jax.Array, config: NGPConfig = NGPConfig()) -> Params:
     ks = jax.random.split(key, 6)
     h = config.hidden_dim
     params: Params = {
-        "table": init_hash_table(ks[0], config.grid),
+        "table": _init_table(ks[0], config),
         "density_mlp": [
             _dense_init(ks[1], (config.grid.out_dim, h)),
             _dense_init(ks[2], (h, 1 + config.geo_feat_dim)),
@@ -103,7 +137,7 @@ def query_density(
         u = contract_aabb(x, aabb)
     selector = jnp.all((u > 0.0) & (u < 1.0), axis=-1)
 
-    enc = hash_encode(params["table"], u, config.grid)
+    enc = _encode(params, u, config)
     out = _mlp(params["density_mlp"], enc, config.compute_dtype)
     raw_density, feat = out[..., :1], out[..., 1:]
     density = density_activation(raw_density) * selector[..., None]

@@ -1,0 +1,177 @@
+"""Packed-row multiresolution grid encoding — the TPU-fast NGP encoder.
+
+Why this exists (measured on TPU v5e, see bench history in
+.claude/skills/verify/SKILL.md): XLA's gather engine tops out at ~100-200M
+rows/s regardless of row width (width <= 128 floats is free). The classic
+instant-ngp hash encoding needs 8 corner gathers x 16 levels = 128 rows per
+sample — a hard ceiling near 1M samples/s. This encoder restructures the
+memory layout so encoding needs exactly ONE gather per (point, level):
+
+  * Every level is a (possibly modulo-wrapped) dense vertex grid with
+    linear slot index  slot = (x*res^2 + y*res + z) mod T_l  computed in
+    uint32 (T_l a power of two for wrapped levels, so mod-2^32 wraparound
+    composes correctly with the final mask).
+  * Because the slot index is LINEAR in the cell coords, the 8 corners of
+    any cell live at 8 STATIC slot offsets {0,1,B,B+1,A,A+1,A+B,A+B+1}.
+    A derived "packed" table P[t] = concat_o V[(t+o) mod T] is built from
+    8 jnp.rolls of the vertex table V — sequential traffic, a couple of ms
+    per training step, and its gradient (roll transpose = opposite roll)
+    is equally cheap.
+  * Encoding then gathers ONE [8*F]-float row per (point, level) and
+    applies trilinear weights — identical math to vertex interpolation,
+    so the field stays C0-continuous everywhere.
+
+Aliasing: levels whose dense grid exceeds T wrap linearly instead of
+xor-hashing. Far-apart vertices still share parameters (as in instant-ngp);
+the alias structure is a deterministic lattice rather than pseudo-random.
+The multi-level pyramid de-aliases exactly as in instant-ngp: each level
+wraps at different offsets and the MLP resolves the votes. The xor-hash
+encoder (ops/hash_encoding.py) remains available for parity checks via
+NGPConfig.encoder = "xor_hash".
+
+Capability parity target: tiny-cuda-nn HashGrid (reference
+conerf/radiance_fields/ngp.py:92-104) — same level geometry (16 levels,
+base 16, growth 1.4472692012786865), same feature width, near-identical
+parameter budget (~12.5M).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class PackedGridConfig:
+    n_levels: int = 16
+    n_features: int = 2
+    log2_table_size: int = 19
+    base_resolution: int = 16
+    per_level_scale: float = 1.4472692012786865
+
+    @property
+    def out_dim(self) -> int:
+        return self.n_levels * self.n_features
+
+    def level_scales(self) -> np.ndarray:
+        return np.array(
+            [
+                self.base_resolution * self.per_level_scale**l - 1.0
+                for l in range(self.n_levels)
+            ],
+            np.float32,
+        )
+
+    def level_resolutions(self) -> np.ndarray:
+        return (np.ceil(self.level_scales()) + 1.0).astype(np.int64)
+
+    def level_table_sizes(self) -> np.ndarray:
+        """T_l: full dense size when it fits, else 2^log2_table_size."""
+        res = self.level_resolutions()
+        t_max = 1 << self.log2_table_size
+        return np.where(res**3 <= t_max, res**3, t_max).astype(np.int64)
+
+    def level_wrapped(self) -> np.ndarray:
+        res = self.level_resolutions()
+        return (res**3) > (1 << self.log2_table_size)
+
+    def level_offsets(self) -> np.ndarray:
+        sizes = self.level_table_sizes()
+        return np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+
+    @property
+    def total_rows(self) -> int:
+        return int(self.level_table_sizes().sum())
+
+
+def init_packed_grid(key: jax.Array, config: PackedGridConfig) -> jnp.ndarray:
+    """Vertex table V: [total_rows, F], uniform(-1e-4, 1e-4)."""
+    return jax.random.uniform(
+        key, (config.total_rows, config.n_features), jnp.float32, -1e-4, 1e-4
+    )
+
+
+# corner order: (dx, dy, dz) with dz fastest — offsets 0,1,B,B+1,A,A+1,A+B,A+B+1
+_CORNERS = np.stack(
+    np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"), axis=-1
+).reshape(8, 3).astype(np.int64)
+
+
+def pack_table(table: jnp.ndarray, config: PackedGridConfig) -> jnp.ndarray:
+    """V [total_rows, F] -> P [total_rows, 8*F] via 8 per-level rolls."""
+    sizes = config.level_table_sizes()
+    res = config.level_resolutions()
+    offsets = config.level_offsets()
+    packed_levels = []
+    for l in range(config.n_levels):
+        v = jax.lax.dynamic_slice_in_dim(table, int(offsets[l]), int(sizes[l]))
+        A, B = int(res[l]) * int(res[l]), int(res[l])
+        rows = []
+        for dx, dy, dz in _CORNERS:
+            o = int(dx * A + dy * B + dz) % int(sizes[l])
+            rows.append(jnp.roll(v, -o, axis=0))
+        packed_levels.append(jnp.concatenate(rows, axis=1))
+    return jnp.concatenate(packed_levels, axis=0)  # [total_rows, 8F]
+
+
+def packed_encode(
+    packed: jnp.ndarray, x: jnp.ndarray, config: PackedGridConfig
+) -> jnp.ndarray:
+    """Encode positions with the packed table.
+
+    Args:
+      packed: [total_rows, 8*F] from `pack_table`.
+      x: [..., 3] in [0, 1]^3 (clipped).
+
+    Returns [..., n_levels * F] f32.
+    """
+    batch_shape = x.shape[:-1]
+    n = int(np.prod(batch_shape)) if batch_shape else 1
+    x = jnp.clip(x.reshape(-1, 3).astype(jnp.float32), 0.0, 1.0)
+    L, F = config.n_levels, config.n_features
+
+    scales = jnp.asarray(config.level_scales())  # [L]
+    res = config.level_resolutions()
+    sizes = config.level_table_sizes()
+    offsets = config.level_offsets()
+
+    pos = x[:, None, :] * scales[None, :, None] + 0.5  # [N, L, 3]
+    pos_floor = jnp.floor(pos)
+    frac = pos - pos_floor
+
+    # cell coords clamped to the valid cell range [0, res-2]
+    max_cell = jnp.asarray((res - 2).astype(np.int32))  # [L]
+    cell = jnp.clip(
+        pos_floor.astype(jnp.int32), 0, max_cell[None, :, None]
+    ).astype(jnp.uint32)
+
+    A = jnp.asarray((res * res).astype(np.uint32))  # [L] (mod-2^32 ok)
+    B = jnp.asarray(res.astype(np.uint32))
+    lin = cell[..., 0] * A[None, :] + cell[..., 1] * B[None, :] + cell[..., 2]
+
+    wrapped = config.level_wrapped()
+    t_pow2 = jnp.uint32((1 << config.log2_table_size) - 1)
+    slot = jnp.where(jnp.asarray(wrapped)[None, :], lin & t_pow2, lin)
+    slot = slot.astype(jnp.int32) + jnp.asarray(offsets[:-1].astype(np.int32))[None, :]
+
+    rows = packed[slot]  # [N, L, 8F] — ONE gather per (point, level)
+    rows = rows.reshape(n, L, 8, F)
+
+    corners = jnp.asarray(_CORNERS.astype(np.float32))  # [8, 3]
+    w = jnp.prod(
+        jnp.where(
+            corners[None, None].astype(bool),
+            frac[:, :, None, :],
+            1.0 - frac[:, :, None, :],
+        ),
+        axis=-1,
+    )  # [N, L, 8]
+    out = jnp.einsum("nlc,nlcf->nlf", w, rows)
+    return out.reshape(*batch_shape, L * F)
+
+
+def packed_grid_param_count(config: PackedGridConfig) -> int:
+    return config.total_rows * config.n_features

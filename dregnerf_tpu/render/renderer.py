@@ -101,6 +101,7 @@ def render_image_chunked(
     Rays are padded to a multiple of chunk_size; chunks are processed with
     lax.map so the program compiles once.
     """
+    params = ngp.prepare_params(params, model_config)  # pack grid once, not per chunk
     n = origins.shape[0]
     cs = config.chunk_size
     buf = eval_buffer_size or config.buffer_size

@@ -39,7 +39,6 @@ from dregnerf_tpu.geometry.cameras import rays_from_pixels
 from dregnerf_tpu.models import ngp
 from dregnerf_tpu.ops import occupancy
 from dregnerf_tpu.ops.contraction import contract_inv
-from dregnerf_tpu.ops.hash_encoding import HashGridConfig
 from dregnerf_tpu.render.renderer import RenderConfig, render_rays, render_image_chunked
 from dregnerf_tpu.runtime.checkpoint import CheckpointManager
 from dregnerf_tpu.utils.metrics import mse_to_psnr
@@ -130,7 +129,6 @@ class NGPTrainer:
     def build_networks(self) -> None:
         cfg = self.config
         self.model_config = ngp.NGPConfig(
-            grid=HashGridConfig(),
             unbounded=cfg.unbounded,
             compute_dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
         )

@@ -1,0 +1,192 @@
+"""Dataset loaders (synthetic fixtures per format), vanilla/D-NeRF fields,
+visualization utilities, COLMAP reader."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def write_png(path, rng, size=16, channels=4):
+    import imageio.v2 as imageio
+
+    img = rng.integers(0, 255, (size, size, channels), dtype=np.uint8)
+    imageio.imwrite(path, img)
+
+
+class TestScanNerfLoader:
+    def test_load(self, tmp_path, rng):
+        d = tmp_path / "scene1"
+        d.mkdir()
+        frames = []
+        for i in range(12):
+            write_png(str(d / f"r_{i}.png"), rng)
+            c2w = np.eye(4)
+            c2w[:3, 3] = rng.normal(size=3)
+            frames.append({"file_path": f"r_{i}", "transform_matrix": c2w.tolist()})
+        for split in ("train_all", "test_all"):
+            with open(d / f"{split}.json", "w") as f:
+                json.dump({"fl_x": 100.0, "fl_y": 100.0, "cx": 8.0, "cy": 8.0,
+                           "frames": frames}, f)
+        from dregnerf_tpu.datasets.scannerf import load_blocks
+
+        scenes = load_blocks(str(tmp_path), "scene1", "train_all")
+        assert scenes[0].num_images == 12
+        scenes_t = load_blocks(str(tmp_path), "scene1", "test_all")
+        assert scenes_t[0].num_images == 2  # every 10th
+
+
+class TestNSVFLoader:
+    def test_load(self, tmp_path, rng):
+        d = tmp_path / "scene1"
+        (d / "pose").mkdir(parents=True)
+        (d / "rgb").mkdir()
+        with open(d / "intrinsics.txt", "w") as f:
+            f.write("100.0 8.0 8.0 0\n0 0 0 0\n")
+        np.savetxt(d / "bbox.txt", np.array([-1, -1, -1, 1, 1, 1, 0.01]))
+        for i in range(6):
+            prefix = "0" if i < 4 else "2"
+            c2w = np.eye(4)
+            np.savetxt(d / "pose" / f"{prefix}_{i:04d}.txt", c2w)
+            write_png(str(d / "rgb" / f"{prefix}_{i:04d}.png"), rng)
+        from dregnerf_tpu.datasets.nsvf import load_aabb, load_blocks
+
+        train = load_blocks(str(tmp_path), "scene1", "train")
+        assert train[0].num_images == 4
+        test = load_blocks(str(tmp_path), "scene1", "test")
+        assert test[0].num_images == 2
+        np.testing.assert_allclose(load_aabb(str(tmp_path), "scene1"),
+                                   [-1, -1, -1, 1, 1, 1])
+
+
+class TestColmapRoundtrip:
+    def test_txt_roundtrip(self, tmp_path, rng):
+        from dregnerf_tpu.utils import colmap as C
+
+        cams = {1: C.Camera("PINHOLE", 640, 480, np.array([500.0, 500.0, 320.0, 240.0]))}
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        imgs = {
+            1: C.Image(q, rng.normal(size=3), 1, "img1.png"),
+            2: C.Image(np.array([1.0, 0, 0, 0]), np.zeros(3), 1, "img2.png"),
+        }
+        C.write_cameras_txt(str(tmp_path / "cameras.txt"), cams)
+        C.write_images_txt(str(tmp_path / "images.txt"), imgs)
+        model = C.read_model(str(tmp_path))
+        assert model.cameras[1].model == "PINHOLE"
+        np.testing.assert_allclose(model.cameras[1].K[0, 0], 500.0)
+        np.testing.assert_allclose(model.images[1].qvec, q, atol=1e-12)
+        # pose roundtrip: w2c @ c2w = I
+        m = model.images[1]
+        np.testing.assert_allclose(
+            m.world_to_cam() @ m.cam_to_world(), np.eye(4), atol=1e-8
+        )
+
+    def test_aabb_from_points(self, rng):
+        from dregnerf_tpu.utils.colmap import compute_aabb_from_points
+
+        pts = rng.normal(size=(1000, 3))
+        aabb = compute_aabb_from_points(pts)
+        assert (aabb[3:] > aabb[:3]).all()
+
+
+class TestVanillaNeRF:
+    def test_forward_shapes(self, key, rng):
+        from dregnerf_tpu.models import mlp_nerf as V
+
+        cfg = V.VanillaNeRFConfig(net_depth=2, net_width=32,
+                                  net_width_condition=16)
+        params = V.init_vanilla_nerf(key, cfg)
+        x = jnp.asarray(rng.uniform(-1, 1, (20, 3)), jnp.float32)
+        d = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+        rgb, sigma = V.forward(params, x, d, cfg)
+        assert rgb.shape == (20, 3) and sigma.shape == (20, 1)
+        assert (np.asarray(sigma) >= 0).all()
+
+    def test_dnerf_warp(self, key, rng):
+        from dregnerf_tpu.models import mlp_nerf as V
+
+        cfg = V.VanillaNeRFConfig(net_depth=2, net_width=32,
+                                  net_width_condition=16, warp=True)
+        params = V.init_vanilla_nerf(key, cfg)
+        x = jnp.asarray(rng.uniform(-1, 1, (8, 3)), jnp.float32)
+        t0 = jnp.zeros((8, 1))
+        t1 = jnp.ones((8, 1)) * 0.7
+        s0 = V.query_density(params, x, cfg, t=t0)
+        s1 = V.query_density(params, x, cfg, t=t1)
+        assert s0.shape == (8, 1)
+        # different times -> (generically) different densities
+        assert not np.allclose(np.asarray(s0), np.asarray(s1))
+
+    def test_fits_target(self, key, rng):
+        import optax
+
+        from dregnerf_tpu.models import mlp_nerf as V
+
+        cfg = V.VanillaNeRFConfig(net_depth=2, net_width=64,
+                                  net_width_condition=32, posenc_xyz=4)
+        params = V.init_vanilla_nerf(key, cfg)
+        x = jnp.asarray(rng.uniform(-1, 1, (128, 3)), jnp.float32)
+        target = jnp.exp(-jnp.sum(x**2, -1, keepdims=True))
+        opt = optax.adam(5e-3)
+        st = opt.init(params)
+
+        @jax.jit
+        def step(p, st):
+            l, g = jax.value_and_grad(
+                lambda p: jnp.mean((V.query_density(p, x, cfg) - target) ** 2)
+            )(p)
+            u, st = opt.update(g, st)
+            return optax.apply_updates(p, u), st, l
+
+        first = None
+        for _ in range(50):
+            params, st, l = step(params, st)
+            first = first or float(l)
+        assert float(l) < first * 0.5
+
+
+class TestVisualization:
+    def test_colorize(self, rng):
+        from dregnerf_tpu.utils.visualization import colorize_np
+
+        x = rng.uniform(size=(8, 8)).astype(np.float32)
+        rgb = colorize_np(x)
+        assert rgb.shape == (8, 8, 3)
+        assert (rgb >= 0).all() and (rgb <= 1).all()
+
+    def test_tv_loss(self):
+        from dregnerf_tpu.utils.visualization import tv_loss
+
+        flat = jnp.ones((1, 1, 4, 4))
+        assert float(tv_loss(flat)) == 0.0
+        bumpy = jnp.arange(16.0).reshape(1, 1, 4, 4)
+        assert float(tv_loss(bumpy)) > 0
+
+    def test_sdf_to_mesh_sphere(self, tmp_path):
+        from dregnerf_tpu.utils.visualization import save_mesh_ply, sdf_to_mesh
+
+        n = 24
+        g = np.stack(np.meshgrid(*[np.linspace(-1, 1, n)] * 3, indexing="ij"), -1)
+        sdf = np.linalg.norm(g, axis=-1) - 0.6
+        verts, faces = sdf_to_mesh(sdf)
+        assert len(verts) > 100 and len(faces) > 100
+        # vertices lie near the r=0.6 sphere (in index units: r=0.6/(2/(n-1)))
+        r = np.linalg.norm(verts - (n - 1) / 2, axis=-1) * 2 / (n - 1)
+        np.testing.assert_allclose(r.mean(), 0.6, atol=0.05)
+        path = str(tmp_path / "mesh.ply")
+        save_mesh_ply(path, verts, faces)
+        assert os.path.getsize(path) > 1000
+
+
+class TestPoseOnlyDataset:
+    def test_rays(self):
+        from dregnerf_tpu.datasets.pose_only import NeRFPoseOnlyDataset
+
+        poses = np.tile(np.eye(4)[None, :3, :4], (3, 1, 1))
+        ds = NeRFPoseOnlyDataset(poses, "objaverse", factor=8)
+        assert len(ds) == 3
+        rays = ds[0]
+        assert rays.origins.shape == (ds.height, ds.width, 3)
