@@ -52,6 +52,10 @@ def main() -> None:
     origins = jax.random.uniform(k1, (num_rays, 3), minval=-3.0, maxval=-2.0)
     viewdirs = -origins / jnp.linalg.norm(origins, axis=-1, keepdims=True)
 
+    # steady-state rendering reuses the packed grid tables (training re-packs
+    # in-graph for gradients; eval packs once)
+    params = jax.jit(lambda p: ngp.prepare_params(p, cfg))(params)
+
     @jax.jit
     def render(params, origins, viewdirs):
         out, aux = render_rays(

@@ -100,8 +100,13 @@ _CORNERS = np.stack(
 ).reshape(8, 3).astype(np.int64)
 
 
-def pack_table(table: jnp.ndarray, config: PackedGridConfig) -> jnp.ndarray:
-    """V [total_rows, F] -> P [total_rows, 8*F] via 8 per-level rolls."""
+def pack_table(table: jnp.ndarray, config: PackedGridConfig) -> tuple:
+    """V [total_rows, F] -> tuple of per-level P_l [T_l, 8*F] via 8 rolls.
+
+    Kept per-level (not concatenated) deliberately: gather throughput on
+    TPU degrades with table size, so 16 gathers from <=33MB tables beat
+    one gather from a 400MB table.
+    """
     sizes = config.level_table_sizes()
     res = config.level_resolutions()
     offsets = config.level_offsets()
@@ -114,16 +119,16 @@ def pack_table(table: jnp.ndarray, config: PackedGridConfig) -> jnp.ndarray:
             o = int(dx * A + dy * B + dz) % int(sizes[l])
             rows.append(jnp.roll(v, -o, axis=0))
         packed_levels.append(jnp.concatenate(rows, axis=1))
-    return jnp.concatenate(packed_levels, axis=0)  # [total_rows, 8F]
+    return tuple(packed_levels)
 
 
 def packed_encode(
-    packed: jnp.ndarray, x: jnp.ndarray, config: PackedGridConfig
+    packed: tuple, x: jnp.ndarray, config: PackedGridConfig
 ) -> jnp.ndarray:
-    """Encode positions with the packed table.
+    """Encode positions with the packed per-level tables.
 
     Args:
-      packed: [total_rows, 8*F] from `pack_table`.
+      packed: tuple of [T_l, 8*F] from `pack_table`.
       x: [..., 3] in [0, 1]^3 (clipped).
 
     Returns [..., n_levels * F] f32.
@@ -135,8 +140,6 @@ def packed_encode(
 
     scales = jnp.asarray(config.level_scales())  # [L]
     res = config.level_resolutions()
-    sizes = config.level_table_sizes()
-    offsets = config.level_offsets()
 
     pos = x[:, None, :] * scales[None, :, None] + 0.5  # [N, L, 3]
     pos_floor = jnp.floor(pos)
@@ -154,11 +157,6 @@ def packed_encode(
 
     wrapped = config.level_wrapped()
     t_pow2 = jnp.uint32((1 << config.log2_table_size) - 1)
-    slot = jnp.where(jnp.asarray(wrapped)[None, :], lin & t_pow2, lin)
-    slot = slot.astype(jnp.int32) + jnp.asarray(offsets[:-1].astype(np.int32))[None, :]
-
-    rows = packed[slot]  # [N, L, 8F] — ONE gather per (point, level)
-    rows = rows.reshape(n, L, 8, F)
 
     corners = jnp.asarray(_CORNERS.astype(np.float32))  # [8, 3]
     w = jnp.prod(
@@ -169,7 +167,14 @@ def packed_encode(
         ),
         axis=-1,
     )  # [N, L, 8]
-    out = jnp.einsum("nlc,nlcf->nlf", w, rows)
+
+    outs = []
+    for l in range(L):
+        slot = (lin[:, l] & t_pow2) if wrapped[l] else lin[:, l]
+        rows = packed[l][slot.astype(jnp.int32)]  # [N, 8F] — one gather/level
+        rows = rows.reshape(n, 8, F)
+        outs.append(jnp.einsum("nc,ncf->nf", w[:, l], rows))
+    out = jnp.stack(outs, axis=1)  # [N, L, F]
     return out.reshape(*batch_shape, L * F)
 
 

@@ -101,30 +101,32 @@ def march_rays(
     alive = (t_mid < t_hi[:, None]) & (t_lo[:, None] < t_hi[:, None])
     mask = occupied & alive  # [R, S]
 
-    # --- compaction: cumsum-scatter into the packed buffer -----------------
+    # --- compaction: ONE wide-row cumsum-scatter into the packed buffer ----
+    # (TPU scatter cost is per-row, not per-byte, so (t0, ray_id) travel in
+    # one scatter; t_end and valid are derived, not scattered.)
     flat_mask = mask.reshape(-1)
     flat_ray = jnp.broadcast_to(
         jnp.arange(num_rays, dtype=jnp.int32)[:, None], mask.shape
     ).reshape(-1)
     flat_t0 = t0.reshape(-1)
-    flat_t1 = t1.reshape(-1)
 
     slot = jnp.cumsum(flat_mask) - 1  # destination index per surviving sample
     num_samples = jnp.sum(flat_mask).astype(jnp.int32)
     # overflow beyond B and masked-out entries both land on index B (dropped)
     dest = jnp.where(flat_mask & (slot < buffer_size), slot, buffer_size)
 
-    ray_id = (
-        jnp.full((buffer_size + 1,), num_rays, jnp.int32).at[dest].set(flat_ray)
-    )[:buffer_size]
-    ts0 = jnp.zeros((buffer_size + 1,), jnp.float32).at[dest].set(flat_t0)[:buffer_size]
-    ts1 = jnp.zeros((buffer_size + 1,), jnp.float32).at[dest].set(flat_t1)[:buffer_size]
-    valid = jnp.zeros((buffer_size + 1,), bool).at[dest].set(flat_mask)[:buffer_size]
+    payload = jnp.stack([flat_t0, flat_ray.astype(jnp.float32)], axis=1)
+    init = jnp.zeros((buffer_size + 1, 2), jnp.float32).at[:, 1].set(float(num_rays))
+    packed = init.at[dest].set(payload)[:buffer_size]
+
+    ray_id = packed[:, 1].astype(jnp.int32)
+    ts0 = packed[:, 0]
+    valid = ray_id < num_rays
 
     return PackedSamples(
         ray_id=ray_id,
         t_start=ts0,
-        t_end=ts1,
+        t_end=ts0 + render_step_size,
         valid=valid,
         num_samples=jnp.minimum(num_samples, buffer_size),
         num_rays=num_rays,

@@ -28,9 +28,16 @@ class TestPackedGrid:
         cfg = small_cfg()
         v = PG.init_packed_grid(key, cfg)
         p = PG.pack_table(v, cfg)
-        assert p.shape == (cfg.total_rows, 8 * cfg.n_features)
-        # corner 0 of each row is the row's own vertex features
-        np.testing.assert_allclose(p[:, : cfg.n_features], v)
+        sizes = cfg.level_table_sizes()
+        assert len(p) == cfg.n_levels
+        offset = 0
+        for l, pl in enumerate(p):
+            assert pl.shape == (int(sizes[l]), 8 * cfg.n_features)
+            # corner 0 of each row is the row's own vertex features
+            np.testing.assert_allclose(
+                pl[:, : cfg.n_features], v[offset: offset + int(sizes[l])]
+            )
+            offset += int(sizes[l])
 
     def test_matches_numpy_trilinear_dense(self, key, rng):
         """On a dense (unwrapped) level, packed_encode must equal direct
