@@ -63,6 +63,80 @@ def jitter_cells(key: jax.Array, indices: jnp.ndarray, resolution: int) -> jnp.n
     return centers + noise / resolution
 
 
+def pack_regions(binary: jnp.ndarray) -> jnp.ndarray:
+    """Pack occupancy into per-supercell 8^3-bit region masks.
+
+    For the marcher: a gather fetches one [16]-u32 row = the occupancy of
+    the 8x8x8 cell region [sc*4-2, sc*4+6)^3 around supercell sc, so one
+    gather serves a whole GROUP of consecutive ray steps (TPU gather cost
+    is per-row — SURVEY/bench: ~2e8 rows/s ceiling — so fewer, wider rows
+    win). Bit order: bit = lx*64 + ly*8 + lz, packed little-endian into
+    16 u32 words.
+
+    binary: [R, R, R] bool with R % 4 == 0. Returns [S, S, S, 16] u32,
+    S = R // 4. Cheap (rolls + reshapes), recomputed in-graph per call
+    site so it can never go stale against `binary`.
+    """
+    r = binary.shape[0]
+    assert r % 4 == 0, f"occupancy resolution must be divisible by 4, got {r}"
+    s = r // 4
+    blocks = binary.reshape(s, 4, s, 4, s, 4).transpose(0, 2, 4, 1, 3, 5)
+    # widen each axis from the 4-cell block to the 8-cell margin window
+    # [-2, +6): concat (roll +1, self, roll -1) along the block axis then
+    # slice cells [2:10) of the 12-cell strip.
+    def widen(b, block_axis, cell_axis):
+        prev = jnp.roll(b, 1, axis=block_axis)
+        nxt = jnp.roll(b, -1, axis=block_axis)
+        strip = jnp.concatenate([prev, b, nxt], axis=cell_axis)
+        idx = [slice(None)] * b.ndim
+        idx[cell_axis] = slice(2, 10)
+        return strip[tuple(idx)]
+
+    blocks = widen(blocks, 0, 3)
+    blocks = widen(blocks, 1, 4)
+    blocks = widen(blocks, 2, 5)  # [S, S, S, 8, 8, 8]
+    bits = blocks.reshape(s, s, s, 16, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)  # [S, S, S, 16]
+
+
+def query_regions(
+    regions: jnp.ndarray,
+    resolution: int,
+    cell: jnp.ndarray,
+    leader_cell: jnp.ndarray,
+) -> jnp.ndarray:
+    """Occupancy of integer cells using region rows gathered at the GROUP
+    leader's supercell — ONE row gather per group.
+
+    cell: [..., G, 3] int32 (G = group size); leader_cell: [..., 3] int32
+    (no group dim). The row is gathered once per leader and broadcast over
+    the group. Cells outside the leader's region read as OCCUPIED
+    (conservative: occupancy only accelerates skipping; false positives
+    cost compute, false negatives lose content)."""
+    sc = leader_cell >> 2
+    s = resolution // 4
+    sc = jnp.clip(sc, 0, s - 1)
+    row = regions[sc[..., 0], sc[..., 1], sc[..., 2]]  # [..., 16] u32
+    row = row[..., None, :]  # broadcast over the group dim
+
+    local = cell - (sc[..., None, :] * 4 - 2)  # in [0, 8) within the region
+    in_region = jnp.all((local >= 0) & (local < 8), axis=-1)
+    lc = jnp.clip(local, 0, 7)
+    bit = lc[..., 0] * 64 + lc[..., 1] * 8 + lc[..., 2]
+    word = (bit >> 5).astype(jnp.int32)  # [0, 16)
+    pos = (bit & 31).astype(jnp.uint32)
+    wordval = jnp.sum(
+        jnp.where(
+            jnp.arange(16, dtype=jnp.int32) == word[..., None], row, jnp.uint32(0)
+        ),
+        axis=-1,
+        dtype=jnp.uint32,
+    )
+    occ = ((wordval >> pos) & jnp.uint32(1)).astype(bool)
+    return jnp.where(in_region, occ, True)
+
+
 def query_binary(grid: OccupancyGrid, u: jnp.ndarray) -> jnp.ndarray:
     """Occupancy lookup at contracted positions u [..., 3] in [0,1]^3.
 

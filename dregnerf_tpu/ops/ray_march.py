@@ -29,10 +29,11 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dregnerf_tpu.geometry.cameras import ray_aabb_intersect
 from dregnerf_tpu.ops.contraction import contract
-from dregnerf_tpu.ops.occupancy import OccupancyGrid, query_binary
+from dregnerf_tpu.ops.occupancy import OccupancyGrid, pack_regions, query_regions
 
 
 class PackedSamples(NamedTuple):
@@ -97,7 +98,34 @@ def march_rays(
 
     pos = origins[:, None, :] + viewdirs[:, None, :] * t_mid[..., None]  # [R, S, 3]
     u = contract(pos, aabb, contraction)
-    occupied = query_binary(grid, u)  # [R, S]
+
+    # --- occupancy: region-packed group lookup -----------------------------
+    # One [16]-u32 row gather per GROUP of consecutive steps (the row holds
+    # the 8^3-cell neighborhood around the group leader's supercell), cutting
+    # gather count ~Gx vs per-step bool lookups. G is chosen so a group's
+    # spatial extent stays inside the region's +-2-cell safety margin.
+    res = grid.resolution
+    r_idx = jnp.floor(u * res).astype(jnp.int32)
+    in_range = jnp.all((r_idx >= 0) & (r_idx < res), axis=-1)
+    cell = jnp.clip(r_idx, 0, res - 1)
+
+    # group extent (G-1)*step must stay under ~1.5 cells; in contracted
+    # space a full-diagonal march of `max_steps` crosses ~res*sqrt(3) cells,
+    # so steps-per-cell ~= max_steps / (res * sqrt(3)).
+    steps_per_cell = max_steps / (res * 1.7320508)
+    group = int(np.clip(np.floor(1.5 * steps_per_cell) + 1, 1, 8))
+    while max_steps % group != 0:
+        group -= 1
+
+    regions = pack_regions(grid.binary)
+    n_groups = max_steps // group
+    cell_g = cell.reshape(num_rays, n_groups, group, 3)
+    leader = cell_g[:, :, 0, :]  # [R, n_groups, 3] — one row gather per group
+    occupied = query_regions(regions, res, cell_g, leader).reshape(
+        num_rays, max_steps
+    )
+    occupied = occupied & in_range
+
     alive = (t_mid < t_hi[:, None]) & (t_lo[:, None] < t_hi[:, None])
     mask = occupied & alive  # [R, S]
 
