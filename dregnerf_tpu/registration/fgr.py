@@ -40,6 +40,12 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double), ctypes.c_int,
         ctypes.c_double, ctypes.POINTER(ctypes.c_double),
     ]
+    lib.ransac_register.restype = ctypes.c_int
+    lib.ransac_register.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+    ]
     lib.fpfh_features.restype = ctypes.c_int
     lib.fpfh_features.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_double,
@@ -64,6 +70,33 @@ def run_registration(
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(src),
         tgt.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(tgt),
         ctypes.c_double(voxel_size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    dt = time.time() - t0
+    if rc != 0:
+        return None, dt
+    return out.reshape(4, 4), dt
+
+
+def run_ransac_registration(
+    src_points: np.ndarray,
+    tgt_points: np.ndarray,
+    voxel_size: float = 0.05,
+    max_iters: int = 100000,
+) -> Tuple[Optional[np.ndarray], float]:
+    """RANSAC-based feature-matching registration (Open3D
+    `registration_ransac_based_on_feature_matching` equivalent)."""
+    lib = _load_lib()
+    if lib is None:
+        return None, 0.0
+    src = np.ascontiguousarray(src_points, np.float64)
+    tgt = np.ascontiguousarray(tgt_points, np.float64)
+    out = np.zeros(16, np.float64)
+    t0 = time.time()
+    rc = lib.ransac_register(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(src),
+        tgt.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(tgt),
+        ctypes.c_double(voxel_size), ctypes.c_int(max_iters),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     dt = time.time() - t0

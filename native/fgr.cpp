@@ -299,6 +299,119 @@ void compose_se3(const double xi[6], double T[16]) {
 
 }  // namespace
 
+namespace {
+
+// Kabsch on a correspondence subset -> 4x4 row-major T (src -> tgt).
+void kabsch(const std::vector<Vec3> &src, const std::vector<Vec3> &tgt,
+            const std::vector<std::pair<int, int>> &corr,
+            const std::vector<int> &subset, double T[16]) {
+  Vec3 ca{0, 0, 0}, cb{0, 0, 0};
+  for (int k : subset) {
+    ca = ca + src[corr[k].first];
+    cb = cb + tgt[corr[k].second];
+  }
+  double inv = 1.0 / subset.size();
+  ca = ca * inv;
+  cb = cb * inv;
+  double H[3][3] = {};
+  for (int k : subset) {
+    Vec3 a = src[corr[k].first] - ca;
+    Vec3 b = tgt[corr[k].second] - cb;
+    double av[3] = {a.x, a.y, a.z}, bv[3] = {b.x, b.y, b.z};
+    for (int i = 0; i < 3; ++i)
+      for (int j = 0; j < 3; ++j) H[i][j] += av[i] * bv[j];
+  }
+  // SVD of 3x3 via Jacobi eigen of H^T H (V), then U = H V S^-1
+  double HtH[3][3] = {};
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j)
+      for (int k = 0; k < 3; ++k) HtH[i][j] += H[k][i] * H[k][j];
+  double V[3][3] = {{1, 0, 0}, {0, 1, 0}, {0, 0, 1}};
+  double A[3][3];
+  std::memcpy(A, HtH, sizeof(A));
+  for (int sweep = 0; sweep < 16; ++sweep)
+    for (int p = 0; p < 2; ++p)
+      for (int q = p + 1; q < 3; ++q) {
+        if (std::fabs(A[p][q]) < 1e-15) continue;
+        double theta = 0.5 * std::atan2(2 * A[p][q], A[q][q] - A[p][p]);
+        double c = std::cos(theta), s = std::sin(theta);
+        for (int k = 0; k < 3; ++k) {
+          double apk = A[p][k], aqk = A[q][k];
+          A[p][k] = c * apk - s * aqk;
+          A[q][k] = s * apk + c * aqk;
+        }
+        for (int k = 0; k < 3; ++k) {
+          double akp = A[k][p], akq = A[k][q];
+          A[k][p] = c * akp - s * akq;
+          A[k][q] = s * akp + c * akq;
+          double vkp = V[k][p], vkq = V[k][q];
+          V[k][p] = c * vkp - s * vkq;
+          V[k][q] = s * vkp + c * vkq;
+        }
+      }
+  // columns of V = eigenvectors; singular values = sqrt(eig). With 3
+  // correspondences H is rank-2: complete the deficient column(s) of U
+  // (and V) by cross products instead of dividing by ~0.
+  double U[3][3];
+  double sv_max = 1e-12;
+  for (int j = 0; j < 3; ++j) sv_max = std::max(sv_max, A[j][j]);
+  int weak = -1;
+  for (int j = 0; j < 3; ++j) {
+    double sv2 = A[j][j];
+    if (sv2 < 1e-9 * sv_max) { weak = j; continue; }
+    double sv = std::sqrt(std::max(sv2, 1e-12));
+    for (int i = 0; i < 3; ++i) {
+      double hv = 0;
+      for (int k = 0; k < 3; ++k) hv += H[i][k] * V[k][j];
+      U[i][j] = hv / sv;
+    }
+  }
+  if (weak >= 0) {
+    int a = (weak + 1) % 3, b2 = (weak + 2) % 3;
+    Vec3 ua{U[0][a], U[1][a], U[2][a]}, ub{U[0][b2], U[1][b2], U[2][b2]};
+    Vec3 uc = ua.cross(ub).normalized();
+    U[0][weak] = uc.x; U[1][weak] = uc.y; U[2][weak] = uc.z;
+    Vec3 va{V[0][a], V[1][a], V[2][a]}, vb{V[0][b2], V[1][b2], V[2][b2]};
+    Vec3 vc = va.cross(vb).normalized();
+    V[0][weak] = vc.x; V[1][weak] = vc.y; V[2][weak] = vc.z;
+  }
+  // R = U V^T with det fix (R maps src->tgt: note H = sum a b^T so R = U V^T
+  // transposed appropriately; verify orientation via det)
+  double R[3][3];
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j) {
+      R[i][j] = 0;
+      for (int k = 0; k < 3; ++k) R[i][j] += V[i][k] * U[j][k];
+    }
+  double det = R[0][0] * (R[1][1] * R[2][2] - R[1][2] * R[2][1]) -
+               R[0][1] * (R[1][0] * R[2][2] - R[1][2] * R[2][0]) +
+               R[0][2] * (R[1][0] * R[2][1] - R[1][1] * R[2][0]);
+  if (det < 0) {
+    // flip the smallest singular direction (column 2 after sort ~ use col
+    // with smallest eigenvalue: find it)
+    int mi = 0;
+    for (int k = 1; k < 3; ++k)
+      if (A[k][k] < A[mi][mi]) mi = k;
+    for (int i = 0; i < 3; ++i) V[i][mi] = -V[i][mi];
+    for (int i = 0; i < 3; ++i)
+      for (int j = 0; j < 3; ++j) {
+        R[i][j] = 0;
+        for (int k = 0; k < 3; ++k) R[i][j] += V[i][k] * U[j][k];
+      }
+  }
+  // With H = sum (a-ca)(b-cb)^T and SVD H = U S V^T, the rotation mapping
+  // a -> b is R = V U^T — which is exactly what R holds above.
+  Vec3 t = cb - Vec3{R[0][0] * ca.x + R[0][1] * ca.y + R[0][2] * ca.z,
+                     R[1][0] * ca.x + R[1][1] * ca.y + R[1][2] * ca.z,
+                     R[2][0] * ca.x + R[2][1] * ca.y + R[2][2] * ca.z};
+  double Tn[16] = {R[0][0], R[0][1], R[0][2], t.x,
+                   R[1][0], R[1][1], R[1][2], t.y,
+                   R[2][0], R[2][1], R[2][2], t.z, 0, 0, 0, 1};
+  std::memcpy(T, Tn, sizeof(Tn));
+}
+
+}  // namespace
+
 extern "C" {
 
 // Register src onto tgt: out_T (row-major 4x4) maps src points into tgt.
@@ -402,6 +515,108 @@ int fgr_register(const double *src_xyz, int n_src, const double *tgt_xyz,
     if (step < 1e-14) break;
   }
   std::memcpy(out_T, T, sizeof(T));
+  return 0;
+}
+
+// RANSAC feature-matching registration (Open3D
+// registration_ransac_based_on_feature_matching equivalent): FPFH
+// correspondences -> 3-sample Kabsch hypotheses -> inlier maximization ->
+// final Kabsch refit on inliers. Returns 0 on success.
+int ransac_register(const double *src_xyz, int n_src, const double *tgt_xyz,
+                    int n_tgt, double voxel_size, int max_iters,
+                    double *out_T) {
+  if (n_src < 10 || n_tgt < 10) return -1;
+  auto src = voxel_downsample(src_xyz, n_src, voxel_size);
+  auto tgt = voxel_downsample(tgt_xyz, n_tgt, voxel_size);
+  if (src.size() < 10 || tgt.size() < 10) return -2;
+  double normal_r = voxel_size * 2.0, feature_r = voxel_size * 5.0;
+  GridHash gs, gt;
+  gs.build(src, feature_r);
+  gt.build(tgt, feature_r);
+  auto ns = estimate_normals(src, gs, normal_r);
+  auto nt = estimate_normals(tgt, gt, normal_r);
+  auto fs = compute_fpfh(src, ns, gs, feature_r);
+  auto ft = compute_fpfh(tgt, nt, gt, feature_r);
+
+  // reciprocal nearest-neighbor correspondences (same pipeline as FGR —
+  // one-directional matches proved too noisy for stable hypotheses)
+  std::vector<std::pair<int, int>> corr;
+  std::vector<int> t_for_s(src.size()), s_for_t(tgt.size());
+  for (size_t i = 0; i < src.size(); ++i) t_for_s[i] = nn_feature(fs[i], ft);
+  for (size_t j = 0; j < tgt.size(); ++j) s_for_t[j] = nn_feature(ft[j], fs);
+  for (size_t i = 0; i < src.size(); ++i) {
+    int j = t_for_s[i];
+    if (j >= 0 && s_for_t[j] == (int)i) corr.push_back({(int)i, j});
+  }
+  if (corr.size() < 3) return -3;
+
+  std::mt19937 rng(0);
+  std::uniform_int_distribution<int> pick(0, (int)corr.size() - 1);
+  double thresh = voxel_size * 1.5;
+  double t2 = thresh * thresh;
+  int best_inliers = -1;
+  double best_T[16];
+  std::vector<int> tri(3);
+  for (int it = 0; it < max_iters; ++it) {
+    tri[0] = pick(rng);
+    tri[1] = pick(rng);
+    tri[2] = pick(rng);
+    if (tri[0] == tri[1] || tri[1] == tri[2] || tri[0] == tri[2]) continue;
+    // edge-length compatibility prefilter
+    double ds01 = (src[corr[tri[0]].first] - src[corr[tri[1]].first]).norm();
+    double dt01 = (tgt[corr[tri[0]].second] - tgt[corr[tri[1]].second]).norm();
+    if (std::fabs(ds01 - dt01) > 2 * thresh) continue;
+    double T[16];
+    kabsch(src, tgt, corr, tri, T);
+    int inl = 0;
+    for (auto &pr : corr) {
+      Vec3 p;
+      apply_T(T, src[pr.first], p);
+      Vec3 r = p - tgt[pr.second];
+      if (r.dot(r) < t2) ++inl;
+    }
+    if (inl > best_inliers) {
+      best_inliers = inl;
+      std::memcpy(best_T, T, sizeof(T));
+    }
+  }
+  if (best_inliers < 3) return -4;
+  // polish with the graduated Geman-McClure Gauss-Newton loop (same
+  // objective as fgr_register) seeded from the RANSAC pose — smoothly
+  // downweights bad feature matches instead of hard ICP reassignment
+  double mu = (thresh * 4.0) * (thresh * 4.0);
+  for (int it = 0; it < 48; ++it) {
+    if (it > 0 && it % 4 == 0)
+      mu = std::max(mu / 1.4, voxel_size * voxel_size * 0.25);
+    double A[6][6] = {}, b[6] = {};
+    for (auto &pr : corr) {
+      Vec3 ps;
+      apply_T(best_T, src[pr.first], ps);
+      Vec3 r = ps - tgt[pr.second];
+      double r2v = r.dot(r);
+      double w = mu / ((mu + r2v) * (mu + r2v)) * mu;
+      double J[3][6] = {{0, ps.z, -ps.y, 1, 0, 0},
+                        {-ps.z, 0, ps.x, 0, 1, 0},
+                        {ps.y, -ps.x, 0, 0, 0, 1}};
+      double res[3] = {r.x, r.y, r.z};
+      for (int a2 = 0; a2 < 6; ++a2) {
+        for (int b2 = 0; b2 < 6; ++b2) {
+          double s = 0;
+          for (int k = 0; k < 3; ++k) s += J[k][a2] * J[k][b2];
+          A[a2][b2] += w * s;
+        }
+        double s = 0;
+        for (int k = 0; k < 3; ++k) s += J[k][a2] * res[k];
+        b[a2] += w * s;
+      }
+    }
+    for (int d2 = 0; d2 < 6; ++d2) A[d2][d2] += 1e-9;
+    double xi[6], nb[6];
+    for (int d2 = 0; d2 < 6; ++d2) nb[d2] = -b[d2];
+    if (!solve66(A, nb, xi)) break;
+    compose_se3(xi, best_T);
+  }
+  std::memcpy(out_T, best_T, sizeof(best_T));
   return 0;
 }
 

@@ -274,3 +274,26 @@ class TestFGRBaseline:
             (np.trace(est[:3, :3].T @ T[:3, :3]) - 1) / 2, -1, 1)))
         assert rre < 5.0
         assert np.linalg.norm(est[:3, 3] - T[:3, 3]) < 0.05
+
+    def test_ransac_recovers_large_rotation(self, rng):
+        """RANSAC+GN handles rotations where plain FGR can fall into a
+        wrong basin."""
+        from scipy.spatial.transform import Rotation as R
+
+        from dregnerf_tpu.registration.fgr import run_ransac_registration
+
+        sph = rng.normal(size=(1000, 3))
+        sph /= np.linalg.norm(sph, axis=1, keepdims=True)
+        pts = np.vstack([
+            sph * np.array([0.5, 0.3, 0.2]),
+            rng.normal(size=(300, 3)) * 0.05 + np.array([0.45, 0.25, 0.1]),
+        ])
+        T = np.eye(4)
+        T[:3, :3] = R.from_euler("xyz", [80, 10, -120], degrees=True).as_matrix()
+        T[:3, 3] = [0.2, -0.1, 0.3]
+        tgt = pts @ T[:3, :3].T + T[:3, 3]
+        est, _ = run_ransac_registration(pts, tgt, voxel_size=0.03)
+        assert est is not None
+        rre = np.degrees(np.arccos(np.clip(
+            (np.trace(est[:3, :3].T @ T[:3, :3]) - 1) / 2, -1, 1)))
+        assert rre < 10.0
