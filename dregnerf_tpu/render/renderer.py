@@ -44,6 +44,7 @@ def render_rays(
     stratified: bool = False,
     key: jax.Array | None = None,
     t_max: jnp.ndarray | None = None,
+    field=ngp,
 ) -> tuple[RenderOutput, dict]:
     """Render one ray bucket.
 
@@ -73,7 +74,7 @@ def render_rays(
         key=key,
     )
     positions, dirs = sample_positions(packed, origins, viewdirs)
-    rgbs, sigmas = ngp.forward(params, positions, dirs, aabb, model_config)
+    rgbs, sigmas = field.forward(params, positions, dirs, aabb, model_config)
     sigmas = jnp.where(packed.valid, sigmas.reshape(-1), 0.0)
     out = composite(packed, rgbs, sigmas, background=background)
     ray_counts = jax.ops.segment_sum(
@@ -95,13 +96,15 @@ def render_image_chunked(
     config: RenderConfig,
     background: jnp.ndarray,
     eval_buffer_size: int | None = None,
+    field=ngp,
 ):
     """Render [N, 3] rays (a full flattened image) in fixed-size chunks.
 
     Rays are padded to a multiple of chunk_size; chunks are processed with
     lax.map so the program compiles once.
     """
-    params = ngp.prepare_params(params, model_config)  # pack grid once, not per chunk
+    if hasattr(field, "prepare_params"):
+        params = field.prepare_params(params, model_config)  # pack once, not per chunk
     n = origins.shape[0]
     cs = config.chunk_size
     buf = eval_buffer_size or config.buffer_size

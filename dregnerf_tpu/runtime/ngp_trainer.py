@@ -112,7 +112,13 @@ class NGPTrainer:
             params=self.params, opt_state=self.opt_state, grid=self.grid
         )
         self.scalars_to_log: dict[str, float] = {}
-        self._log_file = open(os.path.join(self.output_dir, "log.txt"), "a")
+        from dregnerf_tpu.runtime.logging import ScalarLogger
+
+        self.logger = ScalarLogger(
+            os.path.join(config.out_dir, "logs", config.expname),
+            text_path=os.path.join(self.output_dir, "log.txt"),
+            enable_tensorboard=getattr(config, "enable_tensorboard", False),
+        )
 
     # ------------------------------------------------------------------ setup
     def setup_bounding_box(self) -> None:
@@ -286,15 +292,17 @@ class NGPTrainer:
 
     # ------------------------------------------------------------------ infra
     def log_scalars(self, step: int, metrics: dict, elapsed: float) -> None:
-        line = (
-            f"step {step} | loss {float(metrics['loss']):.5f} | "
-            f"psnr {float(metrics['psnr']):.2f} | rays {metrics['num_rays']} | "
-            f"samples {int(metrics['n_samples'])} | "
-            f"alive {int(metrics['alive_rays'])} | {elapsed:.1f}s"
+        self.logger.log_scalars(
+            step,
+            {
+                "train/loss": float(metrics["loss"]),
+                "train/psnr": float(metrics["psnr"]),
+                "train/num_rays": metrics["num_rays"],
+                "train/n_samples": int(metrics["n_samples"]),
+                "train/alive_ray_mask": int(metrics["alive_rays"]),
+                "elapsed_s": elapsed,
+            },
         )
-        print(line, flush=True)
-        self._log_file.write(line + "\n")
-        self._log_file.flush()
 
     def validate(self, step: int) -> float:
         scene = self.val_scene or self.scene

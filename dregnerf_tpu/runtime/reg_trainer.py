@@ -132,7 +132,13 @@ class RegTrainer:
         }
         self.setup_optimizer()
         self.iteration = 0
+        from dregnerf_tpu.runtime.logging import ScalarLogger
+
         self._log_file = open(os.path.join(self.output_dir, "log.txt"), "a")
+        self.logger = ScalarLogger(
+            os.path.join(config.out_dir, "logs", config.expname),
+            enable_tensorboard=getattr(config, "enable_tensorboard", False),
+        )
         self._step_fn = self._make_step_fn()
         self._eval_fn = self._make_eval_fn()
 
@@ -251,6 +257,10 @@ class RegTrainer:
         print(line, flush=True)
         self._log_file.write(line + "\n")
         self._log_file.flush()
+        logger = getattr(self, "logger", None)
+        if logger is not None and logger.writer is not None:
+            for k, v in metrics.items():
+                logger.writer.add_scalar(f"train/{k}", float(v), self.iteration)
 
     def save_checkpoint(self, score: float = 0.0) -> None:
         state = {"params": self.params, "optimizer": self.opt_state}

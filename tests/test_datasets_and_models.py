@@ -190,3 +190,33 @@ class TestPoseOnlyDataset:
         assert len(ds) == 3
         rays = ds[0]
         assert rays.origins.shape == (ds.height, ds.width, 3)
+
+
+class TestFieldRegistry:
+    def test_vanilla_field_renders(self, key):
+        from dregnerf_tpu.models import fields
+        from dregnerf_tpu.models.mlp_nerf import VanillaNeRFConfig
+        from dregnerf_tpu.ops import occupancy
+        from dregnerf_tpu.render.renderer import RenderConfig, render_rays
+
+        field = fields.get_field("vanilla")
+        cfg = VanillaNeRFConfig(net_depth=2, net_width=32, net_width_condition=16,
+                                posenc_xyz=4)
+        params = field.init(key, cfg)
+        aabb = jnp.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+        grid = occupancy.init_grid(8)._replace(binary=jnp.ones((8,) * 3, bool))
+        rcfg = RenderConfig(render_step_size=0.05, buffer_size=2048, max_steps=64)
+        o = jnp.tile(jnp.array([[0.0, 0.0, -3.0]]), (16, 1))
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (16, 1))
+        out, aux = render_rays(
+            params, cfg, grid, o, d, aabb, rcfg, background=jnp.ones(3),
+            field=field,
+        )
+        assert out.rgb.shape == (16, 3)
+        assert np.isfinite(np.asarray(out.rgb)).all()
+
+    def test_unknown_field_raises(self):
+        from dregnerf_tpu.models import fields
+
+        with pytest.raises(ValueError):
+            fields.get_field("nope")
