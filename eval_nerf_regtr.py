@@ -88,6 +88,17 @@ class RegEvaluator:
                     {"pose_est": pose.tolist(), "pose_gt": gt.tolist()}, f, indent=2
                 )
 
+            # pose artifacts (reference dumps pose .pt tensors alongside json)
+            try:
+                import torch
+
+                torch.save(torch.from_numpy(pose.copy()),
+                           os.path.join(scene_dir, "pose_est.pt"))
+                torch.save(torch.from_numpy(gt.copy()),
+                           os.path.join(scene_dir, "pose_gt.pt"))
+            except Exception:
+                pass
+
             # aligned / unaligned point-cloud dumps + FGR baseline
             try:
                 src_pts, src_cols = read_ply(item["src_ply_path"])
@@ -108,8 +119,58 @@ class RegEvaluator:
                     }
             except FileNotFoundError:
                 pass
+
+            # novel-view videos: render the src NeRF aligned by the
+            # predicted pose vs unaligned vs GT (reference render_videos x3,
+            # eval_nerf_regtr.py:348-369); skipped without a NeRF checkpoint
+            if self.config.enable_visdom or os.environ.get("DREG_RENDER_VIDEOS"):
+                self._render_videos(scene_dir, item, pose, gt)
+
             print(f"[eval] {scene}: RRE {float(rre):.3f} deg RTE {float(rte):.4f} ({dt:.2f}s)")
 
+        return self._agg_and_write(per_scene, fgr_per_scene)
+
+    def _render_videos(self, scene_dir, item, pose_est, pose_gt) -> None:
+        """Render short aligned/unaligned/gt orbits from the src NeRF."""
+        import numpy as np
+
+        from dregnerf_tpu.render.novel_views import (
+            frames_to_video,
+            synthesize_novel_views,
+        )
+
+        ckpt = item.get("src_nerf_path", "")
+        if not (ckpt and os.path.exists(ckpt) and ckpt.endswith(".ckpt")):
+            return
+        # small orbit of poses around the scene
+        n = 12
+        poses = []
+        for i in range(n):
+            th = 2 * np.pi * i / n
+            eye = 3.0 * np.array([np.cos(th), np.sin(th), 0.5])
+            fwd = -eye / np.linalg.norm(eye)
+            right = np.cross(fwd, [0, 0, 1.0])
+            right /= np.linalg.norm(right)
+            up = np.cross(right, fwd)
+            c2w = np.eye(4)
+            c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, -fwd, eye
+            poses.append(c2w)
+        poses = np.stack(poses)
+        for tag, transform in (
+            ("gt", pose_gt), ("aligned", pose_est), ("unaligned", None)
+        ):
+            frame_dir = os.path.join(scene_dir, f"frames_{tag}")
+            try:
+                synthesize_novel_views(
+                    ckpt, poses, frame_dir, self.config.dataset or "objaverse",
+                    factor=8, transform=transform,
+                )
+                frames_to_video(frame_dir, os.path.join(scene_dir, f"{tag}.mp4"))
+            except Exception as e:
+                print(f"[eval] video {tag} skipped: {e}")
+                break
+
+    def _agg_and_write(self, per_scene, fgr_per_scene):
         def agg(d):
             if not d:
                 return {}

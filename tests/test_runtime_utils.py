@@ -1,0 +1,78 @@
+"""Runtime auxiliary subsystems: profiling, logging, checkpoint manager."""
+import os
+import time
+
+import numpy as np
+import pytest
+
+from dregnerf_tpu.runtime.checkpoint import CheckpointManager
+from dregnerf_tpu.runtime.logging import ScalarLogger
+from dregnerf_tpu.runtime.profiling import PhaseTimer
+
+
+class TestPhaseTimer:
+    def test_accumulates(self):
+        t = PhaseTimer()
+        with t.phase("a"):
+            time.sleep(0.01)
+        with t.phase("a"):
+            time.sleep(0.01)
+        with t.phase("b"):
+            pass
+        assert t.counts["a"] == 2
+        assert t.totals["a"] >= 0.02
+        s = t.summary()
+        assert "a" in s and "b" in s
+        t.reset()
+        assert not t.totals
+
+
+class TestScalarLogger:
+    def test_text_mirror(self, tmp_path):
+        path = str(tmp_path / "log.txt")
+        logger = ScalarLogger(str(tmp_path / "tb"), text_path=path)
+        logger.log_scalars(5, {"loss": 0.25, "psnr": 30.0})
+        logger.close()
+        content = open(path).read()
+        assert "step 5" in content and "loss 0.25" in content
+
+    def test_tensorboard_writer(self, tmp_path):
+        logger = ScalarLogger(str(tmp_path / "tb"), enable_tensorboard=True)
+        if logger.writer is None:
+            pytest.skip("tensorboardX unavailable")
+        logger.log_scalars(1, {"x": 1.0})
+        logger.log_image(1, "img", np.zeros((4, 4, 3), np.float32))
+        logger.close()
+        files = os.listdir(str(tmp_path / "tb"))
+        assert any("tfevents" in f for f in files)
+
+
+class TestCheckpointRetention:
+    def test_max_to_keep_gc(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path), max_to_keep=2)
+        state = {"m": {"w": np.ones(3)}}
+        for step in (1, 2, 3, 4):
+            mgr.save(step, state, {"note": "x"}, score=float(step))
+        files = sorted(os.listdir(str(tmp_path)))
+        stamped = [f for f in files if f.startswith("model_0")]
+        assert len(stamped) == 2  # only the last two kept
+        assert "model.ckpt" in files and "model_best.ckpt" in files
+        # registry lists the kept ones
+        reg = open(tmp_path / "checkpoints.txt").read()
+        assert "model_000004.ckpt" in reg
+
+    def test_best_tracking(self, tmp_path):
+        from dregnerf_tpu.runtime.checkpoint import load_checkpoint
+
+        mgr = CheckpointManager(str(tmp_path))
+        mgr.save(1, {"m": {"w": np.full(2, 1.0)}}, {}, score=5.0)
+        mgr.save(2, {"m": {"w": np.full(2, 2.0)}}, {}, score=3.0)  # worse
+        flat, meta = load_checkpoint(str(tmp_path / "model_best.ckpt"))
+        assert meta["step"] == 1
+        np.testing.assert_allclose(flat["m::w"], 1.0)
+
+    def test_latest_step(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path))
+        assert mgr.latest_step() is None
+        mgr.save(7, {"m": {"w": np.ones(1)}}, {})
+        assert mgr.latest_step() == 7
