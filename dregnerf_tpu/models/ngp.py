@@ -173,3 +173,33 @@ def forward(
     density, feat = query_density(params, positions, aabb, config, return_feat=True)
     rgb = query_rgb(params, viewdirs, feat, config)
     return rgb, density
+
+
+def config_to_meta(config: NGPConfig) -> dict:
+    """JSON-able description — checkpoints must be self-describing
+    (SURVEY §2.2: a NeRF is reconstructable from the artifact alone)."""
+    grid = config.grid
+    return {
+        "encoder": "packed" if isinstance(grid, PackedGridConfig) else "xor_hash",
+        "grid": dataclasses.asdict(grid),
+        "geo_feat_dim": config.geo_feat_dim,
+        "hidden_dim": config.hidden_dim,
+        "sh_degree": config.sh_degree,
+        "use_viewdirs": config.use_viewdirs,
+        "unbounded": config.unbounded,
+        "bf16": config.compute_dtype == jnp.bfloat16,
+    }
+
+
+def config_from_meta(meta: dict) -> NGPConfig:
+    grid_cls = PackedGridConfig if meta.get("encoder", "packed") == "packed" else HashGridConfig
+    grid = grid_cls(**meta.get("grid", {}))
+    return NGPConfig(
+        grid=grid,
+        geo_feat_dim=meta.get("geo_feat_dim", 15),
+        hidden_dim=meta.get("hidden_dim", 64),
+        sh_degree=meta.get("sh_degree", 4),
+        use_viewdirs=meta.get("use_viewdirs", True),
+        unbounded=meta.get("unbounded", False),
+        compute_dtype=jnp.bfloat16 if meta.get("bf16", True) else jnp.float32,
+    )

@@ -353,10 +353,7 @@ class NGPTrainer:
             "cone_angle": cfg.cone_angle,
             "camera_poses": np.asarray(self.scene.camtoworlds).tolist(),
             "block_id": self.scene.block_id,
-            "model_config": {
-                "unbounded": bool(cfg.unbounded),
-                "bf16": bool(cfg.bf16),
-            },
+            "model_config": ngp.config_to_meta(self.model_config),
         }
 
     def save_checkpoint(self, step: int, score: Optional[float] = None) -> None:
@@ -399,11 +396,9 @@ def load_field_from_checkpoint(path: str):
     from dregnerf_tpu.runtime.checkpoint import load_checkpoint as _load
 
     flat, meta = _load(path)
-    model_cfg = ngp.NGPConfig(
-        unbounded=bool(meta.get("unbounded", False)),
-        compute_dtype=jnp.bfloat16 if meta.get("model_config", {}).get("bf16", True)
-        else jnp.float32,
-    )
+    mc = dict(meta.get("model_config", {}))
+    mc.setdefault("unbounded", bool(meta.get("unbounded", False)))
+    model_cfg = ngp.config_from_meta(mc)
     key = jax.random.PRNGKey(0)
     template_params = ngp.init_ngp(key, model_cfg)
     from dregnerf_tpu.runtime.checkpoint import _unflatten_into
