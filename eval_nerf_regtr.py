@@ -111,6 +111,10 @@ class RegEvaluator:
                 from dregnerf_tpu.registration.fgr import run_registration
 
                 fgr_pose, fgr_time = run_registration(src_pts, tgt_pts)
+                if fgr_pose is None:  # sparse clouds: retry finer voxels
+                    fgr_pose, fgr_time = run_registration(
+                        src_pts, tgt_pts, voxel_size=0.02
+                    )
                 if fgr_pose is not None:
                     frre, frte = se3.pose_error(fgr_pose[:3, :4], gt)
                     fgr_per_scene[scene] = {
