@@ -122,7 +122,8 @@ def render_image_chunked(
     def one_chunk(args):
         oc, dc = args
         out, _ = render_rays(
-            params, model_config, grid, oc, dc, aabb, chunk_cfg, background
+            params, model_config, grid, oc, dc, aabb, chunk_cfg, background,
+            field=field,
         )
         return out.rgb, out.opacity, out.depth
 

@@ -78,6 +78,9 @@ def config_parser(argv=None) -> argparse.Namespace:
     parser.add_argument("--n_checkpoint", type=int, default=5000)
 
     # tpu-specific
+    parser.add_argument("--field", type=str, default="ngp",
+                        choices=["ngp", "vanilla", "dnerf"],
+                        help="radiance-field family (models/fields.py)")
     parser.add_argument("--out_dir", type=str, default="out",
                         help="output root (reference: out/<expname>)")
     parser.add_argument("--sample_budget", type=int, default=1 << 18,

@@ -134,12 +134,23 @@ class NGPTrainer:
 
     def build_networks(self) -> None:
         cfg = self.config
-        self.model_config = ngp.NGPConfig(
-            unbounded=cfg.unbounded,
-            compute_dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
-        )
+        from dregnerf_tpu.models.fields import get_field
+
+        field_name = getattr(cfg, "field", "ngp")
+        self.field = get_field(field_name)
+        dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+        if field_name == "ngp":
+            self.model_config = ngp.NGPConfig(
+                unbounded=cfg.unbounded, compute_dtype=dtype
+            )
+        else:
+            from dregnerf_tpu.models.mlp_nerf import VanillaNeRFConfig
+
+            self.model_config = VanillaNeRFConfig(
+                warp=(field_name == "dnerf"), compute_dtype=dtype
+            )
         key = jax.random.PRNGKey(cfg.seed)
-        self.params = ngp.init_ngp(key, self.model_config)
+        self.params = self.field.init(key, self.model_config)
         self.grid = occupancy.init_grid(cfg.grid_resolution)
         self.render_config = RenderConfig(
             contraction=self.contraction,
@@ -171,6 +182,7 @@ class NGPTrainer:
         synthetic = self.scene.synthetic
         opengl = self.scene.opengl
         optimizer = self.optimizer
+        field = self.field
 
         @jax.jit
         def step_fn(params, opt_state, grid, images, c2ws, K, key):
@@ -190,7 +202,7 @@ class NGPTrainer:
             def loss_fn(p):
                 out, aux = render_rays(
                     p, model_cfg, grid, rays.origins, rays.viewdirs, aabb, rcfg,
-                    background=bg, stratified=True, key=kmarch,
+                    background=bg, stratified=True, key=kmarch, field=field,
                 )
                 alive = (aux["ray_counts"] > 0).astype(jnp.float32)
                 n_alive = jnp.maximum(jnp.sum(alive), 1.0)
@@ -221,10 +233,11 @@ class NGPTrainer:
         aabb = self.aabb
         contraction = self.contraction
         step_size = self.render_step_size
+        field = self.field
 
         def occ_fn(params, u):
             world = contract_inv(u, aabb, contraction)
-            d = ngp.query_density(params, world, aabb, model_cfg)
+            d = field.query_density(params, world, aabb, model_cfg)
             return d.reshape(-1) * step_size
 
         chunk = 1 << 16
@@ -276,12 +289,17 @@ class NGPTrainer:
         return metrics
 
     def train(self) -> None:
+        from dregnerf_tpu.runtime.resilience import run_with_retries
+
         cfg = self.config
         key = jax.random.PRNGKey(cfg.seed)
         start = self.load_checkpoint()
         t0 = time.time()
         for step in range(start, cfg.max_iterations):
-            metrics = self.train_iteration(step, jax.random.fold_in(key, step))
+            metrics = run_with_retries(
+                lambda: self.train_iteration(step, jax.random.fold_in(key, step)),
+                on_failure=lambda exc: self.save_checkpoint(step),
+            )
             self.state.step = step + 1
             if step % cfg.n_tensorboard == 0:
                 self.log_scalars(step, metrics, time.time() - t0)
@@ -317,7 +335,7 @@ class NGPTrainer:
         rgb, _, _ = render_image_chunked(
             self.state.params, self.model_config, self.state.grid,
             rays.origins.reshape(-1, 3), rays.viewdirs.reshape(-1, 3),
-            self.aabb, self.render_config, bg,
+            self.aabb, self.render_config, bg, field=self.field,
         )
         rgb = rgb.reshape(scene.height, scene.width, 3)
         gt = np.asarray(scene.images[idx], np.float32) / 255.0
@@ -353,7 +371,13 @@ class NGPTrainer:
             "cone_angle": cfg.cone_angle,
             "camera_poses": np.asarray(self.scene.camtoworlds).tolist(),
             "block_id": self.scene.block_id,
-            "model_config": ngp.config_to_meta(self.model_config),
+            "field": getattr(self.config, "field", "ngp"),
+            "model_config": (
+                ngp.config_to_meta(self.model_config)
+                if getattr(self.config, "field", "ngp") == "ngp"
+                else {"warp": getattr(self.model_config, "warp", False),
+                      "bf16": bool(self.config.bf16)}
+            ),
         }
 
     def save_checkpoint(self, step: int, score: Optional[float] = None) -> None:
@@ -396,11 +420,23 @@ def load_field_from_checkpoint(path: str):
     from dregnerf_tpu.runtime.checkpoint import load_checkpoint as _load
 
     flat, meta = _load(path)
-    mc = dict(meta.get("model_config", {}))
-    mc.setdefault("unbounded", bool(meta.get("unbounded", False)))
-    model_cfg = ngp.config_from_meta(mc)
+    field_name = meta.get("field", "ngp")
     key = jax.random.PRNGKey(0)
-    template_params = ngp.init_ngp(key, model_cfg)
+    if field_name == "ngp":
+        mc = dict(meta.get("model_config", {}))
+        mc.setdefault("unbounded", bool(meta.get("unbounded", False)))
+        model_cfg = ngp.config_from_meta(mc)
+        template_params = ngp.init_ngp(key, model_cfg)
+    else:
+        from dregnerf_tpu.models.fields import get_field
+        from dregnerf_tpu.models.mlp_nerf import VanillaNeRFConfig
+
+        mc = meta.get("model_config", {})
+        model_cfg = VanillaNeRFConfig(
+            warp=bool(mc.get("warp", field_name == "dnerf")),
+            compute_dtype=jnp.bfloat16 if mc.get("bf16", True) else jnp.float32,
+        )
+        template_params = get_field(field_name).init(key, model_cfg)
     from dregnerf_tpu.runtime.checkpoint import _unflatten_into
 
     params = _unflatten_into(template_params, flat, prefix="model::")

@@ -212,10 +212,15 @@ class RegTrainer:
         rng = np.random.default_rng(cfg.seed)
         t0 = time.time()
         score = 0.0
+        from dregnerf_tpu.runtime.resilience import run_with_retries
+
         while self.iteration < max_iterations:
             order = rng.permutation(len(self.train_dataset))
             for i in order:
-                metrics = self.train_iteration(self.train_dataset[int(i)])
+                metrics = run_with_retries(
+                    lambda i=i: self.train_iteration(self.train_dataset[int(i)]),
+                    on_failure=lambda exc: self.save_checkpoint(),
+                )
                 self.iteration += 1
                 if self.iteration % cfg.n_tensorboard == 0:
                     self.log_scalars(metrics, time.time() - t0)

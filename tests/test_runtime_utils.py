@@ -76,3 +76,48 @@ class TestCheckpointRetention:
         assert mgr.latest_step() is None
         mgr.save(7, {"m": {"w": np.ones(1)}}, {})
         assert mgr.latest_step() == 7
+
+
+class TestResilience:
+    def test_transient_classification(self):
+        from dregnerf_tpu.runtime.resilience import is_transient
+
+        assert is_transient(RuntimeError("http: Broken pipe (os error 32)"))
+        assert is_transient(RuntimeError("UNAVAILABLE: transport closed"))
+        assert not is_transient(ValueError("shape mismatch"))
+
+    def test_retries_then_succeeds(self):
+        from dregnerf_tpu.runtime.resilience import run_with_retries
+
+        calls = {"n": 0}
+
+        def flaky():
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise RuntimeError("Network Error: Broken pipe")
+            return 42
+
+        assert run_with_retries(flaky, backoff_s=0.0) == 42
+        assert calls["n"] == 3
+
+    def test_fatal_invokes_on_failure(self):
+        from dregnerf_tpu.runtime.resilience import run_with_retries
+
+        saved = {}
+
+        def fatal():
+            raise ValueError("real bug")
+
+        with pytest.raises(ValueError):
+            run_with_retries(
+                fatal, backoff_s=0.0,
+                on_failure=lambda exc: saved.setdefault("exc", str(exc)),
+            )
+        assert "real bug" in saved["exc"]
+
+    def test_guard_nans(self):
+        from dregnerf_tpu.runtime.resilience import guard_nans
+
+        guard_nans({"a": np.ones(3)}, "ok")
+        with pytest.raises(FloatingPointError):
+            guard_nans({"a": np.array([1.0, np.nan])}, "bad")

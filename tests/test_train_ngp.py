@@ -118,3 +118,35 @@ def test_dynamic_ray_bucket_is_pow2():
     for ideal in [300, 511, 513, 4096, 100000]:
         b = 1 << int(round(math.log2(max(ideal, 1))))
         assert b & (b - 1) == 0
+
+
+def test_vanilla_field_trainer_smoke(tmp_path, rng=None):
+    """--field vanilla drives the same trainer end-to-end (few steps)."""
+    import jax
+    import numpy as np
+
+    from dregnerf_tpu.datasets import fixtures
+    from dregnerf_tpu.datasets.base import load_scene_blocks
+    from dregnerf_tpu.models.mlp_nerf import VanillaNeRFConfig
+    from dregnerf_tpu.runtime.ngp_trainer import NGPTrainer
+
+    root = str(tmp_path / "data")
+    fixtures.make_scene(root, num_views=8, image_size=32)
+    cfg = tiny_config(root, str(tmp_path / "out"), extra=["--field", "vanilla"])
+    cfg.max_iterations = 10
+    train_scene = load_scene_blocks("objaverse", root, "fixture_scene", "train")[0]
+    trainer = NGPTrainer(cfg, train_scene, train_scene)
+    # shrink vanilla net for CPU
+    trainer.model_config = VanillaNeRFConfig(
+        net_depth=2, net_width=32, net_width_condition=16, posenc_xyz=4,
+        compute_dtype=jax.numpy.float32,
+    )
+    trainer.params = trainer.field.init(jax.random.PRNGKey(0), trainer.model_config)
+    trainer.opt_state = trainer.optimizer.init(trainer.params)
+    trainer.state.params = trainer.params
+    trainer.state.opt_state = trainer.opt_state
+    trainer._step_fns = {}
+    trainer.__dict__.pop("_occ_update_fns", None)
+    trainer.train()
+    psnr = trainer.validate(step=10)
+    assert np.isfinite(psnr)
