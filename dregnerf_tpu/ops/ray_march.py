@@ -129,27 +129,24 @@ def march_rays(
     alive = (t_mid < t_hi[:, None]) & (t_lo[:, None] < t_hi[:, None])
     mask = occupied & alive  # [R, S]
 
-    # --- compaction: ONE wide-row cumsum-scatter into the packed buffer ----
-    # (TPU scatter cost is per-row, not per-byte, so (t0, ray_id) travel in
-    # one scatter; t_end and valid are derived, not scattered.)
+    # --- compaction: gather-by-rank (no scatter) ---------------------------
+    # Each packed slot i holds the (i+1)-th surviving candidate; its source
+    # index is searchsorted(cumsum(mask), i+1). That replaces a scatter of
+    # R*S rows (mostly dropped) with a gather of only B rows — scatters are
+    # the most expensive primitive on TPU (see CLAUDE.md perf facts).
     flat_mask = mask.reshape(-1)
-    flat_ray = jnp.broadcast_to(
-        jnp.arange(num_rays, dtype=jnp.int32)[:, None], mask.shape
-    ).reshape(-1)
-    flat_t0 = t0.reshape(-1)
+    csum = jnp.cumsum(flat_mask.astype(jnp.int32))
+    num_samples = csum[-1]
 
-    slot = jnp.cumsum(flat_mask) - 1  # destination index per surviving sample
-    num_samples = jnp.sum(flat_mask).astype(jnp.int32)
-    # overflow beyond B and masked-out entries both land on index B (dropped)
-    dest = jnp.where(flat_mask & (slot < buffer_size), slot, buffer_size)
+    ranks = jnp.arange(1, buffer_size + 1, dtype=jnp.int32)
+    src = jnp.searchsorted(csum, ranks).astype(jnp.int32)
+    valid = ranks <= num_samples
+    src = jnp.minimum(src, flat_mask.shape[0] - 1)
 
-    payload = jnp.stack([flat_t0, flat_ray.astype(jnp.float32)], axis=1)
-    init = jnp.zeros((buffer_size + 1, 2), jnp.float32).at[:, 1].set(float(num_rays))
-    packed = init.at[dest].set(payload)[:buffer_size]
-
-    ray_id = packed[:, 1].astype(jnp.int32)
-    ts0 = packed[:, 0]
-    valid = ray_id < num_rays
+    ray_id = jnp.where(
+        valid, (src // max_steps).astype(jnp.int32), num_rays
+    )
+    ts0 = jnp.where(valid, t0.reshape(-1)[src], 0.0)
 
     return PackedSamples(
         ray_id=ray_id,
