@@ -67,3 +67,44 @@ def test_dp_matches_single_device_grads_shape():
         np.asarray(p1["table"]), np.asarray(p2["table"]), atol=0
     )
     assert np.isfinite(float(m1["loss"]))
+
+
+def test_sharded_surface_pass_matches_single_device(key):
+    """Ray-sharded extraction surface pass == single-device result."""
+    import numpy as np
+
+    from dregnerf_tpu.models import ngp
+    from dregnerf_tpu.ops import occupancy
+    from dregnerf_tpu.ops.packed_grid import PackedGridConfig
+    from dregnerf_tpu.parallel.extract_sharded import make_sharded_surface_fn
+    from dregnerf_tpu.parallel.mesh import make_mesh
+    from dregnerf_tpu.extract.sample_grid import make_surface_chunk_fn
+    from dregnerf_tpu.render.renderer import RenderConfig
+
+    mesh = make_mesh(4, ("data",))
+    cfg = ngp.NGPConfig(
+        grid=PackedGridConfig(n_levels=2, log2_table_size=8),
+        compute_dtype=jnp.float32,
+    )
+    params = ngp.init_ngp(key, cfg)
+    aabb = jnp.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+    grid = occupancy.init_grid(8)._replace(binary=jnp.ones((8,) * 3, bool))
+    rcfg = RenderConfig(render_step_size=0.05, max_steps=64)
+
+    n = 64
+    pts = jax.random.uniform(key, (n, 3), minval=-0.8, maxval=0.8)
+    origin = jnp.array([0.0, 0.0, 3.0])
+    d = pts - origin
+    t_max = jnp.linalg.norm(d, axis=-1)
+    viewdirs = d / t_max[:, None]
+    origins = jnp.tile(origin[None], (n, 1))
+
+    with mesh:
+        sharded = make_sharded_surface_fn(mesh, cfg, aabb, rcfg, 1 << 12)
+        s_sharded = sharded(params, grid, origins, viewdirs, t_max)
+
+    single = make_surface_chunk_fn(params, cfg, grid, aabb, rcfg, n, 1 << 14)
+    s_single = single(origins, viewdirs, t_max)
+    np.testing.assert_allclose(
+        np.asarray(s_sharded), np.asarray(s_single), atol=1e-5
+    )
