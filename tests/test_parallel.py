@@ -108,3 +108,34 @@ def test_sharded_surface_pass_matches_single_device(key):
     np.testing.assert_allclose(
         np.asarray(s_sharded), np.asarray(s_single), atol=1e-5
     )
+
+
+def test_sequence_parallel_attention_matches_unsharded(key):
+    """sp_attention == plain attention, token axis sharded 4 ways."""
+    import numpy as np
+
+    from dregnerf_tpu.parallel.mesh import make_mesh
+    from dregnerf_tpu.parallel.sp_attention import sharded_attention
+
+    mesh = make_mesh(4, ("data",))
+    n, d, heads = 64, 32, 4
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (n, d))
+    k = jax.random.normal(k2, (n, d))
+    v = jax.random.normal(k3, (n, d))
+    qv = jnp.arange(n) < 50
+    kv = jnp.arange(n) < 40
+
+    with mesh:
+        out = sharded_attention(mesh, q, k, v, qv, kv, num_heads=heads)
+
+    # unsharded reference
+    dh = d // heads
+    qh = q.reshape(n, heads, dh).transpose(1, 0, 2)
+    kh = k.reshape(n, heads, dh).transpose(1, 0, 2)
+    vh = v.reshape(n, heads, dh).transpose(1, 0, 2)
+    logits = jnp.einsum("hqd,hkd->hqk", qh, kh) / jnp.sqrt(dh)
+    logits = jnp.where(kv[None, None, :], logits, -1e9)
+    ref = jnp.einsum("hqk,hkd->hqd", jax.nn.softmax(logits, -1), vh)
+    ref = ref.transpose(1, 0, 2).reshape(n, d) * qv[:, None]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
