@@ -45,6 +45,10 @@ def main() -> None:
         render_step_size=float(3.0 * 3**0.5 / 1024),
         buffer_size=1 << 18,
         max_steps=1024,
+        # per-ray-quota packing: 1.2x faster than global compaction at full
+        # buffer utilization (see ops/ray_march.py); training keeps the
+        # compact default for its sample-budget feedback semantics
+        march_compaction="quota",
     )
 
     num_rays = 4096

@@ -47,17 +47,20 @@ def packed_transmittance(packed: PackedSamples, alphas: jnp.ndarray) -> jnp.ndar
     csum = jnp.cumsum(log_1ma)
     excl = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum[:-1]])  # [B]
 
-    # re-base at each ray's first packed sample: ray_start[r] = first index
-    # of ray r = exclusive cumsum of per-ray counts (packing is ray-major).
-    counts = jax.ops.segment_sum(
-        packed.valid.astype(jnp.int32), packed.ray_id, num_segments=packed.num_rays + 1
+    # re-base at each ray's first packed sample. excl is a cumsum of
+    # non-positive terms, hence non-increasing, so the value at a ray's
+    # first slot is that ray's MAXIMUM — segment_max recovers it without
+    # assuming densely-compacted packing (works for both the compacted and
+    # per-ray-quota buffer layouts).
+    base_per_ray = jax.ops.segment_max(
+        jnp.where(packed.valid, excl, -jnp.inf),
+        packed.ray_id,
+        num_segments=packed.num_rays + 1,
     )[: packed.num_rays]
-    ray_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
-    )
-    base_at_start = excl[jnp.clip(ray_start, 0, excl.shape[0] - 1)]  # [R]
     safe_ray = jnp.minimum(packed.ray_id, packed.num_rays - 1)
-    base = base_at_start[safe_ray]
+    base = jnp.where(
+        jnp.isfinite(base_per_ray[safe_ray]), base_per_ray[safe_ray], 0.0
+    )
 
     trans = jnp.exp(excl - base)
     return jnp.where(packed.valid, trans, 0.0)

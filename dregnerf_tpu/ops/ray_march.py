@@ -65,6 +65,7 @@ def march_rays(
     t_max: jnp.ndarray | None = None,
     stratified: bool = False,
     key: jax.Array | None = None,
+    compaction: str = "compact",
 ) -> PackedSamples:
     """March rays through the occupancy grid into a packed sample buffer.
 
@@ -77,6 +78,9 @@ def march_rays(
       max_steps: static candidate steps per ray S.
       t_max: optional [R] per-ray far override (surface-field marching).
       stratified: jitter the first sample offset per ray (training).
+      compaction: "compact" (global gather-by-rank packing, tight buffer
+        utilization) or "quota" (per-ray K=B/R slots, no global search —
+        faster packing, padding where rays are short).
     """
     num_rays = origins.shape[0]
 
@@ -129,24 +133,52 @@ def march_rays(
     alive = (t_mid < t_hi[:, None]) & (t_lo[:, None] < t_hi[:, None])
     mask = occupied & alive  # [R, S]
 
-    # --- compaction: gather-by-rank (no scatter) ---------------------------
-    # Each packed slot i holds the (i+1)-th surviving candidate; its source
-    # index is searchsorted(cumsum(mask), i+1). That replaces a scatter of
-    # R*S rows (mostly dropped) with a gather of only B rows — scatters are
-    # the most expensive primitive on TPU (see CLAUDE.md perf facts).
-    flat_mask = mask.reshape(-1)
-    csum = jnp.cumsum(flat_mask.astype(jnp.int32))
-    num_samples = csum[-1]
+    if compaction == "quota":
+        # --- per-ray quota: NO global compaction --------------------------
+        # Each ray owns K = B/R consecutive slots; its first K surviving
+        # candidates are found with a BATCHED per-row searchsorted (binary
+        # search within each ray's own 1024-entry cumsum — cache-local,
+        # unlike the global 4.2M-entry search). Rays with more than K
+        # samples lose their tail (per-ray truncation, fairer than the
+        # global buffer cut); rays with fewer leave padding.
+        k_quota = max(buffer_size // num_rays, 1)
+        csum_rows = jnp.cumsum(mask.astype(jnp.int32), axis=1)  # [R, S]
+        counts = csum_rows[:, -1]
+        ranks = jnp.arange(1, k_quota + 1, dtype=jnp.int32)  # [K]
+        src_s = jax.vmap(jnp.searchsorted)(
+            csum_rows, jnp.broadcast_to(ranks[None], (num_rays, k_quota))
+        ).astype(jnp.int32)  # [R, K] step index of the k-th survivor
+        valid2 = ranks[None, :] <= counts[:, None]  # [R, K]
+        src_s = jnp.minimum(src_s, max_steps - 1)
+        ts0 = jnp.where(valid2, jnp.take_along_axis(t0, src_s, axis=1), 0.0)
+        rid = jnp.where(
+            valid2, jnp.arange(num_rays, dtype=jnp.int32)[:, None], num_rays
+        )
+        pad = buffer_size - num_rays * k_quota
+        ray_id = jnp.concatenate(
+            [rid.reshape(-1), jnp.full((pad,), num_rays, jnp.int32)]
+        )
+        ts0 = jnp.concatenate([ts0.reshape(-1), jnp.zeros((pad,), jnp.float32)])
+        valid = ray_id < num_rays
+        num_samples = jnp.sum(jnp.minimum(counts, k_quota)).astype(jnp.int32)
+    else:
+        # --- global compaction: gather-by-rank (no scatter) ---------------
+        # Each packed slot i holds the (i+1)-th surviving candidate; its
+        # source index is searchsorted(cumsum(mask), i+1). Replaces a
+        # scatter of R*S rows (mostly dropped) with a gather of B rows.
+        flat_mask = mask.reshape(-1)
+        csum = jnp.cumsum(flat_mask.astype(jnp.int32))
+        num_samples = csum[-1]
 
-    ranks = jnp.arange(1, buffer_size + 1, dtype=jnp.int32)
-    src = jnp.searchsorted(csum, ranks).astype(jnp.int32)
-    valid = ranks <= num_samples
-    src = jnp.minimum(src, flat_mask.shape[0] - 1)
+        ranks = jnp.arange(1, buffer_size + 1, dtype=jnp.int32)
+        src = jnp.searchsorted(csum, ranks).astype(jnp.int32)
+        valid = ranks <= num_samples
+        src = jnp.minimum(src, flat_mask.shape[0] - 1)
 
-    ray_id = jnp.where(
-        valid, (src // max_steps).astype(jnp.int32), num_rays
-    )
-    ts0 = jnp.where(valid, t0.reshape(-1)[src], 0.0)
+        ray_id = jnp.where(
+            valid, (src // max_steps).astype(jnp.int32), num_rays
+        )
+        ts0 = jnp.where(valid, t0.reshape(-1)[src], 0.0)
 
     return PackedSamples(
         ray_id=ray_id,

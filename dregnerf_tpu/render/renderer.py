@@ -30,6 +30,7 @@ class RenderConfig:
     near_plane: float = 0.0
     far_plane: float = 1e10
     chunk_size: int = 8192
+    march_compaction: str = "compact"  # or "quota" (see ops/ray_march.py)
 
 
 def render_rays(
@@ -72,6 +73,7 @@ def render_rays(
         t_max=t_max,
         stratified=stratified,
         key=key,
+        compaction=config.march_compaction,
     )
     positions, dirs = sample_positions(packed, origins, viewdirs)
     rgbs, sigmas = field.forward(params, positions, dirs, aabb, model_config)

@@ -241,3 +241,45 @@ class TestRenderer:
         out, n = render_rays(params, cfg, g, o, d, aabb, rcfg, background=bg)
         rgb2, op2, _ = render_image_chunked(params, cfg, g, o, d, aabb, rcfg, bg)
         np.testing.assert_allclose(out.rgb, rgb2, atol=1e-5)
+
+
+class TestQuotaCompaction:
+    def test_quota_matches_compact_render(self, key):
+        """Quota-mode marching must produce the same per-ray composite as
+        compact mode when no ray exceeds its quota."""
+        from dregnerf_tpu.ops.composite import composite
+        from dregnerf_tpu.ops.ray_march import march_rays, sample_positions
+
+        grid = full_grid(16)
+        n = 8
+        o = jnp.asarray([[x, 0.05, -3.0] for x in np.linspace(-0.5, 0.5, n)],
+                        jnp.float32)
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+        outs = {}
+        for mode in ("compact", "quota"):
+            packed = march_rays(o, d, grid, AABB, "aabb", 0.01, n * 256, 224,
+                                compaction=mode)
+            pos, _ = sample_positions(packed, o, d)
+            sig = jnp.where(packed.valid, sphere_sigma(pos), 0.0)
+            rgbs = jnp.clip(pos * 0.5 + 0.5, 0, 1)
+            outs[mode] = composite(packed, rgbs, sig)
+        np.testing.assert_allclose(outs["quota"].rgb, outs["compact"].rgb,
+                                   atol=1e-4)
+        np.testing.assert_allclose(outs["quota"].opacity,
+                                   outs["compact"].opacity, atol=1e-4)
+        np.testing.assert_allclose(outs["quota"].depth,
+                                   outs["compact"].depth, atol=1e-4)
+
+    def test_quota_truncates_per_ray(self):
+        from dregnerf_tpu.ops.ray_march import march_rays
+
+        grid = full_grid(16)
+        o = jnp.array([[0.0, 0.0, -3.0], [0.3, 0.0, -3.0]])
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (2, 1))
+        packed = march_rays(o, d, grid, AABB, "aabb", 0.01, 2 * 16, 224,
+                            compaction="quota")
+        rid = np.asarray(packed.ray_id)[np.asarray(packed.valid)]
+        # both rays represented despite truncation (global cut would starve
+        # ray 1)
+        assert set(np.unique(rid)) == {0, 1}
+        assert (np.bincount(rid) <= 16).all()
