@@ -78,6 +78,9 @@ def config_parser(argv=None) -> argparse.Namespace:
     parser.add_argument("--n_checkpoint", type=int, default=5000)
 
     # tpu-specific
+    parser.add_argument("--reg_batch_size", type=int, default=1,
+                        help="pairs per registration train step (vmapped; "
+                        "the reference trains at batch 1)")
     parser.add_argument("--field", type=str, default="ngp",
                         choices=["ngp", "vanilla", "dnerf"],
                         help="radiance-field family (models/fields.py)")

@@ -168,23 +168,52 @@ class RegTrainer:
         res = self.grid_resolution
         robust = self.config.robust_loss
         optimizer = self.optimizer
+        batch_size = max(int(getattr(self.config, "reg_batch_size", 1)), 1)
 
         @jax.jit
         def step(params, opt_state, batch):
             def loss_fn(p):
-                total, losses, pred = compute_losses(model, p, batch, aabb, res, robust)
-                return total, (losses, pred["pose"][-1])
+                if batch_size == 1:
+                    total, losses, pred = compute_losses(
+                        model, p, batch, aabb, res, robust
+                    )
+                    return total, (losses, pred["pose"][-1])
+                # vmapped multi-pair step: batch arrays carry a leading
+                # pair axis; losses averaged (MXU-filling conv batches —
+                # the reference trains at batch 1)
+                def one(pair):
+                    total, losses, pred = compute_losses(
+                        model, p, pair, aabb, res, robust
+                    )
+                    return total, losses, pred["pose"][-1]
+
+                totals, losses, poses = jax.vmap(one)(batch)
+                return jnp.mean(totals), (
+                    jax.tree_util.tree_map(jnp.mean, losses), poses[0]
+                )
 
             (total, (losses, pose_pred)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            rre, rte = se3.pose_error(pose_pred, batch["pose"][:3, :4])
+            gt = batch["pose"][:3, :4] if batch_size == 1 else batch["pose"][0, :3, :4]
+            rre, rte = se3.pose_error(pose_pred, gt)
             metrics = {**losses, "total": total, "R_error": rre, "t_error": rte}
             return params, opt_state, metrics
 
         return step
+
+    def train_iteration_batch(self, items) -> Dict[str, float]:
+        """Multi-pair step: stack host items along a leading pair axis."""
+        batch = {
+            k: jnp.stack([jnp.asarray(it[k]) for it in items])
+            for k in ("src_grid", "tgt_grid", "src_mask", "tgt_mask", "pose")
+        }
+        self.params, self.opt_state, metrics = self._step_fn(
+            self.params, self.opt_state, batch
+        )
+        return metrics
 
     def _make_eval_fn(self):
         model = self.model
@@ -214,13 +243,24 @@ class RegTrainer:
         score = 0.0
         from dregnerf_tpu.runtime.resilience import run_with_retries
 
+        bsz = max(int(getattr(cfg, "reg_batch_size", 1)), 1)
         while self.iteration < max_iterations:
             order = rng.permutation(len(self.train_dataset))
+            if bsz > 1:
+                order = order[: len(order) - len(order) % bsz].reshape(-1, bsz)
             for i in order:
-                metrics = run_with_retries(
-                    lambda i=i: self.train_iteration(self.train_dataset[int(i)]),
-                    on_failure=lambda exc: self.save_checkpoint(),
-                )
+                if bsz > 1:
+                    metrics = run_with_retries(
+                        lambda i=i: self.train_iteration_batch(
+                            [self.train_dataset[int(j)] for j in i]
+                        ),
+                        on_failure=lambda exc: self.save_checkpoint(),
+                    )
+                else:
+                    metrics = run_with_retries(
+                        lambda i=i: self.train_iteration(self.train_dataset[int(i)]),
+                        on_failure=lambda exc: self.save_checkpoint(),
+                    )
                 self.iteration += 1
                 if self.iteration % cfg.n_tensorboard == 0:
                     self.log_scalars(metrics, time.time() - t0)

@@ -297,3 +297,51 @@ class TestFGRBaseline:
         rre = np.degrees(np.arccos(np.clip(
             (np.trace(est[:3, :3].T @ T[:3, :3]) - 1) / 2, -1, 1)))
         assert rre < 10.0
+
+
+def test_batched_reg_step_matches_metrics_shape(pair_root):
+    """reg_batch_size=2 vmapped step runs and returns finite losses."""
+    import os
+
+    from dregnerf_tpu.datasets.register_pairs import NeRFRegDataset
+    from dregnerf_tpu.models.regtr import NeRFRegTr
+    from dregnerf_tpu.runtime import reg_trainer as RT
+    from dregnerf_tpu.runtime.checkpoint import CheckpointManager
+    from dregnerf_tpu.runtime.config import config_parser
+
+    root, scene, _ = pair_root
+    out = os.path.join(root, "out_batched")
+    cfg = config_parser([
+        "--dataset", "objaverse", "--root_dir", root, "--expname", "b2",
+        "--out_dir", out, "--no_bf16", "--compilation_cache", "",
+        "--robust_loss", "--reg_batch_size", "2",
+    ])
+    ds = NeRFRegDataset(root, subject_id=scene, split="train", seed=5)
+    tr = RT.RegTrainer.__new__(RT.RegTrainer)
+    tr.config = cfg
+    tr.train_dataset = ds
+    tr.val_dataset = ds
+    tr.output_dir = os.path.join(out, "b2")
+    os.makedirs(tr.output_dir, exist_ok=True)
+    tr.ckpt_manager = CheckpointManager(os.path.join(tr.output_dir, "model"))
+    tr.aabb = jnp.asarray(cfg.aabb, jnp.float32)
+    tr.model = NeRFRegTr(
+        backbone="resnet18", d_model=32, num_layers=1, num_heads=2,
+        dim_feedforward=64, max_input_points=256, num_tokens=64,
+        max_points=50, num_downsample=2, dtype=jnp.float32,
+    )
+    key = jax.random.PRNGKey(0)
+    sample = tr._to_device(ds[0])
+    tr.grid_resolution = int(sample["src_grid"].shape[0])
+    tr.params = {
+        "model": tr.model.init(key, sample)["params"],
+        "infonce_W": L.init_infonce_W(key, 32),
+    }
+    tr.setup_optimizer()
+    tr.iteration = 0
+    tr._log_file = open(os.path.join(tr.output_dir, "log.txt"), "a")
+    tr._step_fn = tr._make_step_fn()
+    m = tr.train_iteration_batch([ds[0], ds[0]])
+    assert np.isfinite(float(m["total"]))
+    for k in ("overlap", "nerf_cont", "feature", "corr"):
+        assert k in m
