@@ -40,6 +40,53 @@ def colorize_np(
     return rgb
 
 
+def get_vertical_colorbar(
+    height: int, vmin: float, vmax: float, cmap_name: str = "jet",
+    label: str | None = None, precision: int = 2,
+) -> np.ndarray:
+    """Render a vertical colorbar strip as an RGB array (reference root
+    utils.py:21-71)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import colors as mcolors
+
+    fig, ax = plt.subplots(figsize=(1.2, height / 100), dpi=100)
+    norm = mcolors.Normalize(vmin=vmin, vmax=vmax)
+    cb = matplotlib.colorbar.ColorbarBase(
+        ax, cmap=matplotlib.colormaps[cmap_name], norm=norm
+    )
+    cb.set_ticks([vmin, (vmin + vmax) / 2, vmax])
+    cb.set_ticklabels(
+        [f"{v:.{precision}f}" for v in (vmin, (vmin + vmax) / 2, vmax)]
+    )
+    if label:
+        cb.set_label(label)
+    fig.tight_layout()
+    fig.canvas.draw()
+    buf = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return buf
+
+
+def colorize_with_colorbar(
+    x: np.ndarray, cmap_name: str = "jet", label: str | None = None
+) -> np.ndarray:
+    """colorize_np + appended vertical colorbar (utils.py append_cbar path)."""
+    rgb = (colorize_np(x, cmap_name) * 255).astype(np.uint8)
+    cbar = get_vertical_colorbar(
+        rgb.shape[0], float(np.min(x)), float(np.max(x)), cmap_name, label
+    )
+    # resize colorbar strip to image height
+    if cbar.shape[0] != rgb.shape[0]:
+        idx = (np.arange(rgb.shape[0]) * cbar.shape[0] // rgb.shape[0]).clip(
+            0, cbar.shape[0] - 1
+        )
+        cbar = cbar[idx]
+    return np.concatenate([rgb, cbar], axis=1)
+
+
 def visualize_depth_numpy(
     depth: np.ndarray, minmax: Optional[tuple] = None
 ) -> tuple[np.ndarray, tuple]:

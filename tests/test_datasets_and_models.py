@@ -220,3 +220,29 @@ class TestFieldRegistry:
 
         with pytest.raises(ValueError):
             fields.get_field("nope")
+
+
+class TestSamplerAndColorbar:
+    def test_simple_sampler_covers_all(self):
+        from dregnerf_tpu.utils.sampler import SimpleSampler
+
+        s = SimpleSampler(total=10, batch=3)
+        seen = set()
+        for _ in range(8):
+            ids = s.nextids()
+            assert 1 <= len(ids) <= 3
+            seen.update(int(i) for i in ids)
+        assert seen == set(range(10))
+
+    def test_cycle(self):
+        from dregnerf_tpu.utils.sampler import cycle
+
+        it = cycle([1, 2])
+        assert [next(it) for _ in range(5)] == [1, 2, 1, 2, 1]
+
+    def test_colorbar_strip(self, rng):
+        from dregnerf_tpu.utils.visualization import colorize_with_colorbar
+
+        x = rng.uniform(size=(32, 32)).astype(np.float32)
+        out = colorize_with_colorbar(x, label="depth")
+        assert out.shape[0] == 32 and out.shape[1] > 32 and out.shape[2] == 3
