@@ -46,6 +46,7 @@ def render_rays(
     key: jax.Array | None = None,
     t_max: jnp.ndarray | None = None,
     field=ngp,
+    times: jnp.ndarray | None = None,
 ) -> tuple[RenderOutput, dict]:
     """Render one ray bucket.
 
@@ -76,7 +77,16 @@ def render_rays(
         compaction=config.march_compaction,
     )
     positions, dirs = sample_positions(packed, origins, viewdirs)
-    rgbs, sigmas = field.forward(params, positions, dirs, aabb, model_config)
+    if times is not None:
+        # time-conditioned fields (D-NeRF): per-sample timestamp gathered
+        # from the sample's source ray
+        safe_ray = jnp.minimum(packed.ray_id, packed.num_rays - 1)
+        t_sample = times[safe_ray][:, None]
+        rgbs, sigmas = field.forward(
+            params, positions, dirs, aabb, model_config, t=t_sample
+        )
+    else:
+        rgbs, sigmas = field.forward(params, positions, dirs, aabb, model_config)
     sigmas = jnp.where(packed.valid, sigmas.reshape(-1), 0.0)
     out = composite(packed, rgbs, sigmas, background=background)
     ray_counts = jax.ops.segment_sum(
@@ -99,8 +109,11 @@ def render_image_chunked(
     background: jnp.ndarray,
     eval_buffer_size: int | None = None,
     field=ngp,
+    time: float | None = None,
 ):
     """Render [N, 3] rays (a full flattened image) in fixed-size chunks.
+
+    `time` renders the whole image at one timestamp (D-NeRF).
 
     Rays are padded to a multiple of chunk_size; chunks are processed with
     lax.map so the program compiles once.
@@ -121,11 +134,13 @@ def render_image_chunked(
 
     chunk_cfg = dataclasses.replace(config, buffer_size=buf)
 
+    times = None if time is None else jnp.full((cs,), float(time))
+
     def one_chunk(args):
         oc, dc = args
         out, _ = render_rays(
             params, model_config, grid, oc, dc, aabb, chunk_cfg, background,
-            field=field,
+            field=field, times=times,
         )
         return out.rgb, out.opacity, out.depth
 

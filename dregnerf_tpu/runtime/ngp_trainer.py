@@ -171,6 +171,8 @@ class NGPTrainer:
         self.images = jnp.asarray(self.scene.images)  # uint8, device-resident
         self.c2ws = jnp.asarray(self.scene.camtoworlds)
         self.K = jnp.asarray(self.scene.K)
+        ts = getattr(self.scene, "timestamps", None)
+        self.timestamps = None if ts is None else jnp.asarray(ts)  # D-NeRF
 
     # ------------------------------------------------------------- train step
     def _make_step_fn(self, num_rays: int):
@@ -183,6 +185,7 @@ class NGPTrainer:
         opengl = self.scene.opengl
         optimizer = self.optimizer
         field = self.field
+        timestamps = self.timestamps  # tiny [N_img] array or None (static)
 
         @jax.jit
         def step_fn(params, opt_state, grid, images, c2ws, K, key):
@@ -200,9 +203,11 @@ class NGPTrainer:
             rays = rays_from_pixels(x, y, K, c2ws[img_id], opengl)
 
             def loss_fn(p):
+                ray_times = None if timestamps is None else timestamps[img_id]
                 out, aux = render_rays(
                     p, model_cfg, grid, rays.origins, rays.viewdirs, aabb, rcfg,
                     background=bg, stratified=True, key=kmarch, field=field,
+                    times=ray_times,
                 )
                 alive = (aux["ray_counts"] > 0).astype(jnp.float32)
                 n_alive = jnp.maximum(jnp.sum(alive), 1.0)
@@ -332,10 +337,12 @@ class NGPTrainer:
             scene.height, scene.width, scene.opengl,
         )
         bg = jnp.ones(3)
+        ts = getattr(scene, "timestamps", None)
         rgb, _, _ = render_image_chunked(
             self.state.params, self.model_config, self.state.grid,
             rays.origins.reshape(-1, 3), rays.viewdirs.reshape(-1, 3),
             self.aabb, self.render_config, bg, field=self.field,
+            time=None if ts is None else float(ts[idx]),
         )
         rgb = rgb.reshape(scene.height, scene.width, 3)
         gt = np.asarray(scene.images[idx], np.float32) / 255.0

@@ -246,3 +246,62 @@ class TestSamplerAndColorbar:
         x = rng.uniform(size=(32, 32)).astype(np.float32)
         out = colorize_with_colorbar(x, label="depth")
         assert out.shape[0] == 32 and out.shape[1] > 32 and out.shape[2] == 3
+
+
+class TestDNeRFEndToEnd:
+    def test_dnerf_trainer_smoke(self, tmp_path, rng):
+        """--field dnerf trains on a time-stamped fixture and renders at a
+        fixed timestamp (closes the D-NeRF plumbing path)."""
+        import json
+
+        import imageio.v2 as imageio
+
+        from dregnerf_tpu.datasets import fixtures
+        from dregnerf_tpu.datasets.dnerf_synthetic import load_blocks
+        from dregnerf_tpu.models.mlp_nerf import VanillaNeRFConfig
+        from dregnerf_tpu.runtime.config import config_parser
+        from dregnerf_tpu.runtime.ngp_trainer import NGPTrainer
+
+        # build a dnerf-format fixture: reuse the static renderer, add time
+        root = tmp_path / "data"
+        subject = fixtures.make_scene(str(root), num_views=8, image_size=32)
+        with open(os.path.join(subject, "transforms.json")) as f:
+            meta = json.load(f)
+        for i, fr in enumerate(meta["frames"]):
+            fr["time"] = i / max(len(meta["frames"]) - 1, 1)
+        for split in ("train", "test"):
+            with open(os.path.join(subject, f"transforms_{split}.json"), "w") as f:
+                json.dump(meta, f)
+
+        scenes = load_blocks(str(root), "fixture_scene", "train")
+        scene = scenes[0]
+        assert scene.timestamps is not None and scene.timestamps.max() == 1.0
+
+        cfg = config_parser([
+            "--dataset", "objaverse", "--root_dir", str(root),
+            "--scene", "fixture_scene", "--expname", "dnerf_smoke",
+            "--out_dir", str(tmp_path / "out"), "--factor", "1",
+            "--aabb=-1.0,-1.0,-1.0,1.0,1.0,1.0", "--max_iterations", "8",
+            "--sample_budget", "8192", "--max_march_steps", "64",
+            "--grid_resolution", "16", "--init_num_rays", "256",
+            "--max_num_rays", "512", "--n_tensorboard", "100",
+            "--n_validation", "1000", "--n_checkpoint", "8",
+            "--no_bf16", "--compilation_cache", "", "--field", "dnerf",
+        ])
+        trainer = NGPTrainer(cfg, scene, scene)
+        trainer.model_config = VanillaNeRFConfig(
+            net_depth=2, net_width=32, net_width_condition=16, posenc_xyz=4,
+            warp=True, warp_depth=2, warp_width=16,
+            compute_dtype=jnp.float32,
+        )
+        trainer.params = trainer.field.init(
+            jax.random.PRNGKey(0), trainer.model_config
+        )
+        trainer.opt_state = trainer.optimizer.init(trainer.params)
+        trainer.state.params = trainer.params
+        trainer.state.opt_state = trainer.opt_state
+        trainer._step_fns = {}
+        trainer.__dict__.pop("_occ_update_fns", None)
+        trainer.train()
+        psnr = trainer.validate(step=8)
+        assert np.isfinite(psnr)
