@@ -52,8 +52,15 @@ def compute_losses(
     aabb: jnp.ndarray,
     grid_resolution: int,
     robust: bool = True,
+    visibility_fns: tuple | None = None,
 ):
-    """All 4 registration losses; returns (total, dict, pred)."""
+    """All 4 registration losses; returns (total, dict, pred).
+
+    visibility_fns: optional (src_vis, tgt_vis) callables points->[...]
+    labels. Default is the fast voxel-mask lookup; pass
+    `make_exact_visibility_fns(...)` output for the reference-exact marched
+    supervision.
+    """
     pred = model.apply({"params": params["model"]}, batch)
     pose_gt = batch["pose"][:3, :4]  # [3, 4]
     pose_gt_inv = se3.se3_inv(pose_gt)
@@ -63,12 +70,18 @@ def compute_losses(
     tgt_valid = pred["tgt_valid"]
     n_layers = pred["src_kp_warped"].shape[0]
 
-    vis = lambda pts, mask_flat: grid_visibility(
-        pts, mask_flat, aabb, grid_resolution
-    )
-    # GT overlap labels: keypoints against their own NeRF's visible-voxel set
-    src_gt = vis(src_kp, batch["src_mask"])  # [N]
-    tgt_gt = vis(tgt_kp, batch["tgt_mask"])
+    if visibility_fns is not None:
+        src_vis, tgt_vis = visibility_fns
+    else:
+        src_vis = lambda pts: grid_visibility(
+            pts, batch["src_mask"], aabb, grid_resolution
+        )
+        tgt_vis = lambda pts: grid_visibility(
+            pts, batch["tgt_mask"], aabb, grid_resolution
+        )
+    # GT overlap labels: keypoints against their own NeRF's visibility field
+    src_gt = src_vis(src_kp)  # [N]
+    tgt_gt = tgt_vis(tgt_kp)
 
     losses = {}
     # --- overlap (last layer) ---
@@ -79,8 +92,8 @@ def compute_losses(
 
     # --- nerf consistency (all layers; warped kps vs the SAME side's field,
     #     reference train_nerf_regtr.py:198-201) ---
-    src_tilde = vis(pred["src_kp_warped"], batch["src_mask"])  # [L, N]
-    tgt_tilde = vis(pred["tgt_kp_warped"], batch["tgt_mask"])
+    src_tilde = src_vis(pred["src_kp_warped"])  # [L, N]
+    tgt_tilde = tgt_vis(pred["tgt_kp_warped"])
     losses["nerf_cont"] = 0.5 * (
         L.nerf_consistency(src_tilde, jnp.broadcast_to(src_gt, (n_layers, src_gt.shape[0])), src_valid)
         + L.nerf_consistency(tgt_tilde, jnp.broadcast_to(tgt_gt, (n_layers, tgt_gt.shape[0])), tgt_valid)
@@ -108,6 +121,56 @@ def compute_losses(
 
     total = sum(losses[k] * LOSS_WEIGHTS[k] for k in losses)
     return total, losses, pred
+
+
+def make_exact_visibility_fns(
+    src_ckpt: str,
+    tgt_ckpt: str,
+    max_cameras: int = 128,
+    buffer_size: int = 1 << 16,
+):
+    """Reference-exact visibility supervision (confidence_loss.py:56-160):
+    march camera->point rays against the actual NeRF checkpoints.
+
+    Unlike the reference (which RELOADS both NeRFs from disk every
+    iteration), the checkpoints are loaded ONCE and the returned closures
+    are jit-compatible. Cameras are padded to a static `max_cameras`
+    capacity.
+
+    NOTE: under jit the closed-over NeRF params become program constants —
+    fine for evaluation/analysis and small models, but full-size tables
+    (~50 MB/NeRF) should be threaded through the step's arguments instead
+    (this environment's remote compiler rejects oversized constant
+    payloads); that wiring is round-2 backlog.
+    """
+    import numpy as np
+
+    from dregnerf_tpu.losses.visibility import exact_visibility
+    from dregnerf_tpu.runtime.ngp_trainer import load_field_from_checkpoint
+
+    def load(path):
+        params, grid, meta, model_cfg, rcfg = load_field_from_checkpoint(path)
+        cams = np.asarray(meta["camera_poses"], np.float32)
+        origins = np.zeros((max_cameras, 3), np.float32)
+        valid = np.zeros(max_cameras, bool)
+        n = min(len(cams), max_cameras)
+        origins[:n] = cams[:n, :3, 3]
+        valid[:n] = True
+        aabb = jnp.asarray(meta["aabb"], jnp.float32)
+
+        def vis(points):
+            shape = points.shape[:-1]
+            flat = points.reshape(-1, 3)
+            out = exact_visibility(
+                params, model_cfg, grid, aabb, rcfg,
+                jnp.asarray(origins), jnp.asarray(valid), flat,
+                buffer_size=buffer_size,
+            )
+            return out.reshape(shape)
+
+        return vis
+
+    return load(src_ckpt), load(tgt_ckpt)
 
 
 class RegTrainer:

@@ -345,3 +345,45 @@ def test_batched_reg_step_matches_metrics_shape(pair_root):
     assert np.isfinite(float(m["total"]))
     for k in ("overlap", "nerf_cont", "feature", "corr"):
         assert k in m
+
+
+def test_exact_visibility_fns_from_checkpoints(tmp_path, key):
+    """make_exact_visibility_fns loads tiny NeRF checkpoints and labels
+    points in {0, 1}; compute_losses accepts the seam."""
+    import os
+
+    from dregnerf_tpu.models import ngp
+    from dregnerf_tpu.ops import occupancy
+    from dregnerf_tpu.ops.packed_grid import PackedGridConfig
+    from dregnerf_tpu.runtime.checkpoint import save_checkpoint
+    from dregnerf_tpu.runtime.reg_trainer import make_exact_visibility_fns
+
+    cfg = ngp.NGPConfig(
+        grid=PackedGridConfig(n_levels=2, log2_table_size=8),
+        compute_dtype=jnp.float32,
+    )
+    params = ngp.init_ngp(key, cfg)
+    grid = occupancy.init_grid(8)._replace(binary=jnp.ones((8,) * 3, bool))
+    meta = {
+        "aabb": [-1.0, -1.0, -1.0, 1.0, 1.0, 1.0],
+        "contraction_type": "aabb", "render_step_size": 0.05,
+        "near_plane": 0.0, "far_plane": 1e10,
+        "camera_poses": [np.concatenate([np.eye(3), [[0], [0], [3.0]]], 1).tolist()],
+        "field": "ngp", "model_config": ngp.config_to_meta(cfg),
+    }
+    path = str(tmp_path / "model.ckpt")
+    save_checkpoint(path, {
+        "model": params,
+        "occupancy": {"occs": grid.occs, "binary": grid.binary},
+    }, meta)
+
+    src_vis, tgt_vis = make_exact_visibility_fns(path, path, max_cameras=4,
+                                                 buffer_size=1 << 12)
+    pts = jax.random.uniform(key, (16, 3), minval=-0.8, maxval=0.8)
+    labels = src_vis(pts)
+    assert labels.shape == (16,)
+    vals = set(np.unique(np.asarray(labels)))
+    assert vals <= {0.0, 1.0}
+    # multi-layer shape passes through too
+    labels2 = tgt_vis(jnp.stack([pts, pts]))
+    assert labels2.shape == (2, 16)
