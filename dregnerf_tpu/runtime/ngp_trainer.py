@@ -350,7 +350,7 @@ class NGPTrainer:
             gt = gt[..., :3] * gt[..., 3:4] + np.ones(3) * (1 - gt[..., 3:4])
         val_mse = float(np.mean((np.asarray(rgb) - gt) ** 2))
         val_psnr = -10.0 * math.log10(val_mse)
-        print(f"[val] step {step} psnr {val_psnr:.2f}", flush=True)
+        self.logger.log_scalars(step, {"val/psnr": val_psnr})
         try:
             import imageio.v2 as imageio
 
