@@ -168,6 +168,43 @@ def make_blocks(
     return blocks
 
 
+# CLI name (reference conerf/utils/config.py:24-31 choices, plus aliases)
+# -> loader module under dregnerf_tpu.datasets.
+DATASET_MODULES: Dict[str, str] = {
+    "objaverse": "objaverse",
+    "nerf_synthetic": "nerf_synthetic",
+    "blender": "nerf_synthetic",
+    "Synthetic_NSVF": "nsvf",
+    "nsvf": "nsvf",
+    "scannerf": "scannerf",
+    "dtu": "mvs",
+    "BlendedMVS": "mvs",
+    "blendedmvs": "mvs",
+    "mvs": "mvs",
+    "nerf_llff_data": "real_world",
+    "llff": "real_world",
+    "mipnerf_360": "real_world",
+    "mipnerf360": "real_world",
+    "real_world": "real_world",
+    "Hypersim": "hypersim",
+    "hypersim": "hypersim",
+    "dnerf": "dnerf_synthetic",
+}
+
+
+def dataset_module(dataset: str):
+    """Resolve a CLI --dataset value (or alias) to its loader module."""
+    try:
+        name = DATASET_MODULES[dataset]
+    except KeyError:
+        raise ValueError(
+            f"unknown dataset: {dataset!r} (known: {sorted(DATASET_MODULES)})"
+        ) from None
+    import importlib
+
+    return importlib.import_module(f"dregnerf_tpu.datasets.{name}")
+
+
 def load_scene_blocks(
     dataset: str,
     root: str,
@@ -179,24 +216,6 @@ def load_scene_blocks(
 ) -> List[SceneData]:
     """Dispatch to a format loader; returns one SceneData per block
     (a single-element list when multi_blocks=False)."""
-    if dataset == "objaverse":
-        from dregnerf_tpu.datasets import objaverse as mod
-    elif dataset in ("nerf_synthetic", "blender"):
-        from dregnerf_tpu.datasets import nerf_synthetic as mod
-    elif dataset == "nsvf":
-        from dregnerf_tpu.datasets import nsvf as mod
-    elif dataset == "scannerf":
-        from dregnerf_tpu.datasets import scannerf as mod
-    elif dataset in ("dtu", "blendedmvs", "mvs"):
-        from dregnerf_tpu.datasets import mvs as mod
-    elif dataset in ("llff", "mipnerf360", "real_world"):
-        from dregnerf_tpu.datasets import real_world as mod
-    elif dataset == "hypersim":
-        from dregnerf_tpu.datasets import hypersim as mod
-    elif dataset == "dnerf":
-        from dregnerf_tpu.datasets import dnerf_synthetic as mod
-    else:
-        raise ValueError(f"unknown dataset: {dataset}")
-    return mod.load_blocks(
+    return dataset_module(dataset).load_blocks(
         root, subject_id, split, factor, multi_blocks, num_blocks
     )

@@ -33,6 +33,7 @@ def config_parser(argv=None) -> argparse.Namespace:
         choices=[
             "mipnerf_360", "nerf_llff_data", "nerf_synthetic", "objaverse",
             "scannerf", "Synthetic_NSVF", "Hypersim", "dtu", "BlendedMVS",
+            "dnerf",
         ],
     )
     parser.add_argument("--json_dir", type=str, default="")
