@@ -23,7 +23,7 @@ TPU-native redesign, two tiers:
 """
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,23 @@ from dregnerf_tpu.ops.contraction import contract
 from dregnerf_tpu.ops.occupancy import OccupancyGrid
 from dregnerf_tpu.ops.ray_march import march_rays, sample_positions
 from dregnerf_tpu.render.renderer import RenderConfig
+
+
+class VisibilityContext(NamedTuple):
+    """Everything exact visibility needs from one NeRF checkpoint, as ARRAYS.
+
+    This is the round-2 fix for the jit-constant limitation: full-size
+    NeRF params must thread through the train step's ARGUMENTS (the remote
+    compiler rejects programs with large embedded constants — HTTP 413), so
+    the context is a pytree passed to the jitted step, not a closure.
+    Static knobs (model/render configs) travel separately.
+    """
+
+    params: Any  # NGP params pytree (raw vertex table; packed in-graph)
+    binary: jnp.ndarray  # [R, R, R] bool occupancy
+    cam_origins: jnp.ndarray  # [C, 3] f32 (padded to static C)
+    cam_valid: jnp.ndarray  # [C] bool
+    aabb: jnp.ndarray  # [6] f32
 
 
 def grid_visibility(
@@ -93,3 +110,67 @@ def exact_visibility(
 
     smax = jax.lax.fori_loop(0, cam_origins.shape[0], body, jnp.zeros(m))
     return (smax >= cutoff).astype(jnp.float32)
+
+
+def exact_visibility_ctx(
+    ctx: VisibilityContext,
+    model_cfg: ngp.NGPConfig,
+    rcfg: RenderConfig,
+    points: jnp.ndarray,
+    buffer_size: int = 1 << 16,
+    cutoff: float = 0.5,
+) -> jnp.ndarray:
+    """`exact_visibility` over a VisibilityContext argument pytree.
+
+    Jit-safe at full model size: ctx arrays are step arguments, never
+    constants. Packs the encoder table ONCE up front (outside the camera
+    loop) and accepts arbitrary leading batch dims on `points` (the warped
+    keypoints arrive as [L, N, 3]).
+    """
+    params = ngp.prepare_params(ctx.params, model_cfg)
+    grid = OccupancyGrid(
+        occs=jnp.zeros((0,), jnp.float32), binary=ctx.binary
+    )
+    shape = points.shape[:-1]
+    flat = points.reshape(-1, 3)
+    out = exact_visibility(
+        params, model_cfg, grid, ctx.aabb, rcfg,
+        ctx.cam_origins, ctx.cam_valid, flat,
+        buffer_size=buffer_size, cutoff=cutoff,
+    )
+    return out.reshape(shape)
+
+
+def load_visibility_context(
+    path: str, max_cameras: int = 128
+) -> tuple[VisibilityContext, ngp.NGPConfig, RenderConfig]:
+    """Host-side: one NeRF checkpoint -> (context arrays, static configs).
+
+    Reference contract: conerf/loss/confidence_loss.py:16-52
+    `load_radiance_fields` — but loaded ONCE per checkpoint (callers cache),
+    not per iteration.
+    """
+    import numpy as np
+
+    from dregnerf_tpu.runtime.ngp_trainer import load_field_from_checkpoint
+
+    params, grid, meta, model_cfg, rcfg = load_field_from_checkpoint(path)
+    if meta.get("field", "ngp") != "ngp":
+        raise NotImplementedError(
+            "exact visibility supervision currently supports NGP checkpoints "
+            f"only (got field={meta.get('field')!r})"
+        )
+    cams = np.asarray(meta["camera_poses"], np.float32)
+    origins = np.zeros((max_cameras, 3), np.float32)
+    valid = np.zeros(max_cameras, bool)
+    n = min(len(cams), max_cameras)
+    origins[:n] = cams[:n, :3, 3]
+    valid[:n] = True
+    ctx = VisibilityContext(
+        params=params,
+        binary=grid.binary,
+        cam_origins=jnp.asarray(origins),
+        cam_valid=jnp.asarray(valid),
+        aabb=jnp.asarray(meta["aabb"], jnp.float32),
+    )
+    return ctx, model_cfg, rcfg

@@ -97,6 +97,19 @@ def config_parser(argv=None) -> argparse.Namespace:
     parser.add_argument("--max_num_rays", type=int, default=1 << 16)
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--no_bf16", dest="bf16", action="store_false")
+    parser.add_argument("--visibility", type=str, default="grid",
+                        choices=["grid", "exact"],
+                        help="registration GT overlap labels: 'grid' = "
+                        "voxel-mask lookup (fast), 'exact' = march the "
+                        "actual NeRF checkpoints per step (reference "
+                        "confidence_loss.py semantics)")
+    parser.add_argument("--vis_max_cameras", type=int, default=128,
+                        help="static camera capacity for exact visibility")
+    parser.add_argument("--vis_buffer_size", type=int, default=1 << 16,
+                        help="packed sample capacity per camera pass in "
+                        "exact visibility")
+    parser.add_argument("--vis_cache_size", type=int, default=8,
+                        help="device-resident NeRF-context LRU entries")
     parser.add_argument("--mesh_shape", type=str, default="",
                         help="device mesh, e.g. '4,2' for (data, model)")
     parser.add_argument("--compilation_cache", type=str,

@@ -376,6 +376,7 @@ class NGPTrainer:
             "render_step_size": self.render_step_size,
             "alpha_thre": 0.0,
             "cone_angle": cfg.cone_angle,
+            "max_march_steps": int(cfg.max_march_steps),
             "camera_poses": np.asarray(self.scene.camtoworlds).tolist(),
             "block_id": self.scene.block_id,
             "field": getattr(self.config, "field", "ngp"),
@@ -456,5 +457,6 @@ def load_field_from_checkpoint(path: str):
         render_step_size=float(meta["render_step_size"]),
         near_plane=float(meta.get("near_plane", 0.0) or 0.0),
         far_plane=float(meta.get("far_plane", 1e10) or 1e10),
+        max_steps=int(meta.get("max_march_steps", 1024)),
     )
     return params, grid, meta, model_cfg, render_cfg

@@ -79,9 +79,20 @@ def compute_losses(
         tgt_vis = lambda pts: grid_visibility(
             pts, batch["tgt_mask"], aabb, grid_resolution
         )
-    # GT overlap labels: keypoints against their own NeRF's visibility field
-    src_gt = src_vis(src_kp)  # [N]
-    tgt_gt = tgt_vis(tgt_kp)
+    # GT overlap labels: keypoints against their own NeRF's visibility field.
+    # Keypoints and per-layer warped keypoints go through ONE vis call per
+    # side ([1+L, N, 3]) — exact visibility marches Nc rays per point, so
+    # batching the two queries halves that cost. Labels are binarized in the
+    # reference (confidence_loss.py:155) hence carry no gradient; stop_gradient
+    # prunes the marched backward graph accordingly.
+    src_labels = jax.lax.stop_gradient(
+        src_vis(jnp.concatenate([src_kp[None], pred["src_kp_warped"]], axis=0))
+    )  # [1+L, N]
+    tgt_labels = jax.lax.stop_gradient(
+        tgt_vis(jnp.concatenate([tgt_kp[None], pred["tgt_kp_warped"]], axis=0))
+    )
+    src_gt, src_tilde = src_labels[0], src_labels[1:]
+    tgt_gt, tgt_tilde = tgt_labels[0], tgt_labels[1:]
 
     losses = {}
     # --- overlap (last layer) ---
@@ -92,8 +103,6 @@ def compute_losses(
 
     # --- nerf consistency (all layers; warped kps vs the SAME side's field,
     #     reference train_nerf_regtr.py:198-201) ---
-    src_tilde = src_vis(pred["src_kp_warped"])  # [L, N]
-    tgt_tilde = tgt_vis(pred["tgt_kp_warped"])
     losses["nerf_cont"] = 0.5 * (
         L.nerf_consistency(src_tilde, jnp.broadcast_to(src_gt, (n_layers, src_gt.shape[0])), src_valid)
         + L.nerf_consistency(tgt_tilde, jnp.broadcast_to(tgt_gt, (n_layers, tgt_gt.shape[0])), tgt_valid)
@@ -133,40 +142,23 @@ def make_exact_visibility_fns(
     march camera->point rays against the actual NeRF checkpoints.
 
     Unlike the reference (which RELOADS both NeRFs from disk every
-    iteration), the checkpoints are loaded ONCE and the returned closures
-    are jit-compatible. Cameras are padded to a static `max_cameras`
-    capacity.
-
-    NOTE: under jit the closed-over NeRF params become program constants —
-    fine for evaluation/analysis and small models, but full-size tables
-    (~50 MB/NeRF) should be threaded through the step's arguments instead
-    (this environment's remote compiler rejects oversized constant
-    payloads); that wiring is round-2 backlog.
+    iteration), the checkpoints are loaded ONCE. The returned closures are
+    convenience wrappers for eval/analysis; TRAINING threads the contexts
+    through the jitted step's arguments instead (RegTrainer
+    `--visibility exact`) so full-size tables never become jit constants.
     """
-    import numpy as np
-
-    from dregnerf_tpu.losses.visibility import exact_visibility
-    from dregnerf_tpu.runtime.ngp_trainer import load_field_from_checkpoint
+    from dregnerf_tpu.losses.visibility import (
+        exact_visibility_ctx,
+        load_visibility_context,
+    )
 
     def load(path):
-        params, grid, meta, model_cfg, rcfg = load_field_from_checkpoint(path)
-        cams = np.asarray(meta["camera_poses"], np.float32)
-        origins = np.zeros((max_cameras, 3), np.float32)
-        valid = np.zeros(max_cameras, bool)
-        n = min(len(cams), max_cameras)
-        origins[:n] = cams[:n, :3, 3]
-        valid[:n] = True
-        aabb = jnp.asarray(meta["aabb"], jnp.float32)
+        ctx, model_cfg, rcfg = load_visibility_context(path, max_cameras)
 
         def vis(points):
-            shape = points.shape[:-1]
-            flat = points.reshape(-1, 3)
-            out = exact_visibility(
-                params, model_cfg, grid, aabb, rcfg,
-                jnp.asarray(origins), jnp.asarray(valid), flat,
-                buffer_size=buffer_size,
+            return exact_visibility_ctx(
+                ctx, model_cfg, rcfg, points, buffer_size=buffer_size
             )
-            return out.reshape(shape)
 
         return vis
 
@@ -202,6 +194,18 @@ class RegTrainer:
             os.path.join(config.out_dir, "logs", config.expname),
             enable_tensorboard=getattr(config, "enable_tensorboard", False),
         )
+        self.visibility = getattr(config, "visibility", "grid") or "grid"
+        if self.visibility == "exact" and int(getattr(config, "reg_batch_size", 1)) > 1:
+            raise ValueError(
+                "--visibility exact supports reg_batch_size=1 (the reference "
+                "trains at batch 1; exact labels march Nc rays per keypoint)"
+            )
+        from collections import OrderedDict
+
+        self._vis_cache: "OrderedDict[str, Any]" = OrderedDict()
+        self._vis_cache_size = int(getattr(config, "vis_cache_size", 8))
+        self._vis_static = None  # (model_cfg, rcfg) from the first checkpoint
+        self._exact_step_fn = None  # built lazily once _vis_static is known
         self._step_fn = self._make_step_fn()
         self._eval_fn = self._make_eval_fn()
 
@@ -267,6 +271,78 @@ class RegTrainer:
 
         return step
 
+    def _get_vis_ctx(self, path: str):
+        """LRU-cached (device-resident) VisibilityContext for one checkpoint.
+
+        First load fixes the static (model_cfg, rcfg) pair used by the
+        compiled exact step; later checkpoints must match or the step would
+        silently recompile per pair.
+        """
+        from dregnerf_tpu.losses.visibility import load_visibility_context
+
+        if path in self._vis_cache:
+            self._vis_cache.move_to_end(path)
+            return self._vis_cache[path]
+        ctx, model_cfg, rcfg = load_visibility_context(
+            path, max_cameras=int(getattr(self.config, "vis_max_cameras", 128))
+        )
+        if self._vis_static is None:
+            self._vis_static = (model_cfg, rcfg)
+        elif self._vis_static != (model_cfg, rcfg):
+            raise ValueError(
+                f"NeRF checkpoint {path} has configs {(model_cfg, rcfg)} != "
+                f"fleet configs {self._vis_static}; exact visibility needs a "
+                "config-homogeneous NeRF fleet (one compiled step)"
+            )
+        self._vis_cache[path] = ctx
+        while len(self._vis_cache) > self._vis_cache_size:
+            self._vis_cache.popitem(last=False)
+        return ctx
+
+    def _make_exact_step_fn(self):
+        """Train step with exact (marched) visibility supervision.
+
+        The two VisibilityContext pytrees are step ARGUMENTS — full-size NGP
+        tables never embed as jit constants (reference semantics:
+        conerf/loss/confidence_loss.py:56-160, called per iteration at
+        train_nerf_regtr.py:191-199)."""
+        from dregnerf_tpu.losses.visibility import exact_visibility_ctx
+
+        model = self.model
+        aabb = self.aabb
+        res = self.grid_resolution
+        robust = self.config.robust_loss
+        optimizer = self.optimizer
+        model_cfg, rcfg = self._vis_static
+        buffer_size = int(getattr(self.config, "vis_buffer_size", 1 << 16))
+
+        @jax.jit
+        def step(params, opt_state, batch, src_ctx, tgt_ctx):
+            def loss_fn(p):
+                vis_fns = (
+                    lambda pts: exact_visibility_ctx(
+                        src_ctx, model_cfg, rcfg, pts, buffer_size=buffer_size
+                    ),
+                    lambda pts: exact_visibility_ctx(
+                        tgt_ctx, model_cfg, rcfg, pts, buffer_size=buffer_size
+                    ),
+                )
+                total, losses, pred = compute_losses(
+                    model, p, batch, aabb, res, robust, visibility_fns=vis_fns
+                )
+                return total, (losses, pred["pose"][-1])
+
+            (total, (losses, pose_pred)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            rre, rte = se3.pose_error(pose_pred, batch["pose"][:3, :4])
+            metrics = {**losses, "total": total, "R_error": rre, "t_error": rte}
+            return params, opt_state, metrics
+
+        return step
+
     def train_iteration_batch(self, items) -> Dict[str, float]:
         """Multi-pair step: stack host items along a leading pair axis."""
         batch = {
@@ -292,6 +368,15 @@ class RegTrainer:
 
     def train_iteration(self, item: Dict) -> Dict[str, float]:
         batch = self._to_device(item)
+        if getattr(self, "visibility", "grid") == "exact":
+            src_ctx = self._get_vis_ctx(item["src_nerf_path"])
+            tgt_ctx = self._get_vis_ctx(item["tgt_nerf_path"])
+            if self._exact_step_fn is None:
+                self._exact_step_fn = self._make_exact_step_fn()
+            self.params, self.opt_state, metrics = self._exact_step_fn(
+                self.params, self.opt_state, batch, src_ctx, tgt_ctx
+            )
+            return metrics
         self.params, self.opt_state, metrics = self._step_fn(
             self.params, self.opt_state, batch
         )

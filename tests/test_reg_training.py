@@ -387,3 +387,181 @@ def test_exact_visibility_fns_from_checkpoints(tmp_path, key):
     # multi-layer shape passes through too
     labels2 = tgt_vis(jnp.stack([pts, pts]))
     assert labels2.shape == (2, 16)
+
+
+class TestExactVisibilityTraining:
+    """VERDICT r1 item 3: exact (marched) visibility as a full train-step
+    feature — NeRF params as step ARGUMENTS — plus a measured grid-vs-exact
+    label disagreement rate on a trained fixture NeRF."""
+
+    @pytest.fixture(scope="class")
+    def trained_scene(self, tmp_path_factory):
+        """Train one tiny NGP on the fixture scene, extract real voxel
+        artifacts, and lay out a 2-block registration scene (both blocks
+        share the checkpoint; identity world frames -> GT pose = I)."""
+        import shutil
+
+        from dregnerf_tpu.datasets import fixtures
+        from dregnerf_tpu.datasets.base import load_scene_blocks
+        from dregnerf_tpu.extract.sample_grid import (
+            extract_voxel_features,
+            save_voxel_artifacts,
+        )
+        from dregnerf_tpu.models.ngp import NGPConfig, init_ngp
+        from dregnerf_tpu.ops.hash_encoding import HashGridConfig
+        from dregnerf_tpu.runtime.config import config_parser
+        from dregnerf_tpu.runtime.ngp_trainer import (
+            NGPTrainer,
+            load_field_from_checkpoint,
+        )
+
+        root = str(tmp_path_factory.mktemp("exactvis"))
+        data = os.path.join(root, "data")
+        fixtures.make_scene(data, num_views=12, image_size=32)
+        out = os.path.join(root, "out")
+        cfg = config_parser([
+            "--dataset", "objaverse", "--root_dir", data,
+            "--scene", "fixture_scene", "--expname", "ev", "--out_dir", out,
+            "--factor", "1", "--aabb=-1.0,-1.0,-1.0,1.0,1.0,1.0",
+            "--max_iterations", "400", "--sample_budget", str(1 << 13),
+            "--max_march_steps", "64", "--grid_resolution", "16",
+            "--init_num_rays", "256", "--max_num_rays", "1024",
+            "--n_tensorboard", "100", "--n_validation", "10000",
+            "--n_checkpoint", "400", "--no_bf16", "--compilation_cache", "",
+        ])
+        scene = load_scene_blocks("objaverse", data, "fixture_scene", "train")[0]
+        trainer = NGPTrainer(cfg, scene, scene)
+        trainer.model_config = NGPConfig(
+            grid=HashGridConfig(n_levels=4, log2_table_size=11),
+            compute_dtype=jnp.float32,
+        )
+        trainer.params = init_ngp(jax.random.PRNGKey(0), trainer.model_config)
+        trainer.opt_state = trainer.optimizer.init(trainer.params)
+        trainer.state.params = trainer.params
+        trainer.state.opt_state = trainer.opt_state
+        trainer._step_fns = {}
+        trainer.__dict__.pop("_occ_update_fns", None)
+        trainer.train()
+
+        ckpt = os.path.join(out, "ev", "model", "model.ckpt")
+        params, grid, meta, model_cfg, rcfg = load_field_from_checkpoint(ckpt)
+        extracted = extract_voxel_features(
+            params, model_cfg, grid, meta, jax.random.PRNGKey(1),
+            surface_chunk=2048,
+        )
+        # 2-block registration layout (identity world frames)
+        scene_name = "fixture_scene"
+        img_dir = os.path.join(root, "images", scene_name)
+        os.makedirs(img_dir, exist_ok=True)
+        with open(os.path.join(img_dir, "world_frame_transforms.json"), "w") as f:
+            json.dump({"0": np.eye(4).tolist(), "1": np.eye(4).tolist()}, f)
+        for b in (0, 1):
+            bdir = os.path.join(root, "nerf_models", scene_name, f"block_{b}")
+            save_voxel_artifacts(bdir, extracted)
+            shutil.copy(ckpt, os.path.join(bdir, "model.ckpt"))
+        return root, scene_name, ckpt, extracted
+
+    def test_grid_vs_exact_disagreement(self, trained_scene):
+        """Compare grid_visibility (voxel-mask lookup) against exact marched
+        labels at keypoints AND warped keypoints; report the rate."""
+        from dregnerf_tpu.losses.visibility import (
+            exact_visibility_ctx,
+            grid_visibility,
+            load_visibility_context,
+        )
+
+        root, scene_name, ckpt, ex = trained_scene
+        ctx, model_cfg, rcfg = load_visibility_context(ckpt, max_cameras=12)
+        res = int(ex["resolution"][0])
+        mask_flat = np.zeros(res**3, bool)
+        keep = ex["surface_mask"] & ex["density_mask"]
+        mask_flat[ex["indices"][keep]] = True
+        kp = jnp.asarray(ex["points"][keep])  # on-lattice keypoints
+        # warped keypoints: small rigid motion off the lattice
+        from dregnerf_tpu.datasets.base import random_se3_np
+
+        T = random_se3_np(np.random.default_rng(3), trans_clamp=0.1)
+        warped = kp @ jnp.asarray(T[:3, :3].T) + jnp.asarray(T[:3, 3])
+
+        aabb = ctx.aabb
+        exact = jax.jit(
+            lambda c, pts: exact_visibility_ctx(c, model_cfg, rcfg, pts,
+                                                buffer_size=1 << 12)
+        )
+        gridv = jax.jit(
+            lambda pts: grid_visibility(pts, jnp.asarray(mask_flat), aabb, res)
+        )
+        report = {}
+        for name, pts in [("keypoints", kp), ("warped", warped)]:
+            e = np.asarray(exact(ctx, pts))
+            g = np.asarray(gridv(pts))
+            assert set(np.unique(e)) <= {0.0, 1.0}
+            report[name] = float(np.mean(e != g))
+        print(f"grid-vs-exact disagreement: {report}")
+        # keypoints sit on the voxel lattice the mask came from: labels must
+        # largely agree (mask = surface AND density; exact = surface only,
+        # so exact >= grid up to jitter)
+        assert report["keypoints"] < 0.25, report
+        assert report["warped"] <= 1.0  # reported, not bounded a priori
+
+    def test_exact_step_runs_and_is_finite(self, trained_scene):
+        """RegTrainer(visibility='exact'): one full train step with NeRF
+        contexts threaded through the step arguments."""
+        from collections import OrderedDict
+
+        from dregnerf_tpu.datasets.register_pairs import NeRFRegDataset
+        from dregnerf_tpu.models.regtr import NeRFRegTr
+        from dregnerf_tpu.runtime import reg_trainer as RT
+        from dregnerf_tpu.runtime.checkpoint import CheckpointManager
+        from dregnerf_tpu.runtime.config import config_parser
+
+        root, scene_name, ckpt, _ = trained_scene
+        out = os.path.join(root, "regout")
+        cfg = config_parser([
+            "--dataset", "objaverse", "--root_dir", root, "--expname", "ev",
+            "--out_dir", out, "--position_embedding_dim", "32",
+            "--num_downsample", "2", "--no_bf16", "--compilation_cache", "",
+            "--visibility", "exact", "--vis_max_cameras", "12",
+            "--vis_buffer_size", str(1 << 12), "--robust_loss",
+        ])
+        ds = NeRFRegDataset(root, subject_id=scene_name, split="train", seed=0)
+        assert len(ds) == 1
+
+        tr = RT.RegTrainer.__new__(RT.RegTrainer)
+        tr.config = cfg
+        tr.train_dataset = ds
+        tr.val_dataset = ds
+        tr.output_dir = os.path.join(out, "ev")
+        os.makedirs(tr.output_dir, exist_ok=True)
+        tr.ckpt_manager = CheckpointManager(os.path.join(tr.output_dir, "model"))
+        tr.aabb = jnp.asarray(cfg.aabb, jnp.float32)
+        tr.model = NeRFRegTr(
+            backbone="resnet18", d_model=32, num_layers=1, num_heads=2,
+            dim_feedforward=64, max_input_points=256, num_tokens=64,
+            max_points=50, num_downsample=2, dtype=jnp.float32,
+        )
+        key = jax.random.PRNGKey(0)
+        sample = tr._to_device(ds[0])
+        tr.grid_resolution = int(sample["src_grid"].shape[0])
+        tr.params = {
+            "model": tr.model.init(key, sample)["params"],
+            "infonce_W": L.init_infonce_W(key, 32),
+        }
+        tr.setup_optimizer()
+        tr.iteration = 0
+        tr.visibility = "exact"
+        tr._vis_cache = OrderedDict()
+        tr._vis_cache_size = 4
+        tr._vis_static = None
+        tr._exact_step_fn = None
+        tr._log_file = open(os.path.join(tr.output_dir, "log.txt"), "a")
+        tr._eval_fn = tr._make_eval_fn()
+
+        m = tr.train_iteration(ds[0])
+        for k in ("overlap", "nerf_cont", "feature", "corr", "total"):
+            assert np.isfinite(float(m[k])), (k, m)
+        # both block checkpoints resolved through the LRU
+        assert len(tr._vis_cache) == 2
+        # second step reuses the compiled fn and cache
+        m2 = tr.train_iteration(ds[0])
+        assert np.isfinite(float(m2["total"]))
