@@ -63,6 +63,11 @@ class NeRFRegTr(nn.Module):
     init_subsample_cell: float = 0.05
     max_points: int = 1500  # reference's per-level stop threshold
     dtype: Any = jnp.float32
+    # sequence-parallel attention (SURVEY §2.4/§5): set to a
+    # jax.sharding.Mesh to run the cross-encoder token-sharded over
+    # `sp_axis`; exact equivalence with local attention (tested).
+    sp_mesh: Any = None
+    sp_axis: str = "data"
 
     @nn.compact
     def __call__(self, data: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
@@ -87,7 +92,8 @@ class NeRFRegTr(nn.Module):
             pos_embed = PositionEmbeddingLearned(3, self.d_model, name="pos_embed")
         encoder = TransformerCrossEncoder(
             self.num_layers, self.d_model, self.num_heads, self.dim_feedforward,
-            self.dtype, name="transformer_encoder",
+            self.dtype, sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
+            name="transformer_encoder",
         )
         decoder = CorrespondenceDecoder(self.d_model, self.dtype, name="decoder")
 

@@ -121,7 +121,15 @@ def _upsample_to(x, target_shape):
 
 
 class FeaturePyramid3D(nn.Module):
-    """v1 pyramid (bottleneck nets): lateral 1x1 + post-add 3x3, finest out."""
+    """Top-down 3D feature pyramid; finest (1/2-res) scale out.
+
+    Arch-conditioned like the reference (feature_pyramid_net.py:182-207):
+    bottleneck nets get the v1 pyramid (1x1x1 laterals for c2..c5,
+    feature_pyramid_net.py:39-108); basic-block nets get the v3 variant
+    (3x3x3 laterals for c1..c3, 1x1x1 for c4/c5,
+    feature_pyramid_net.py:111-179). Both share the post-add 3x3x3
+    smoothing convs.
+    """
 
     arch: str = "resnet50"
     out_channels: int = 256
@@ -130,18 +138,19 @@ class FeaturePyramid3D(nn.Module):
     @nn.compact
     def __call__(self, x):
         block, _ = _ARCHS[self.arch]
-        exp = block.expansion
+        v3 = block is BasicBlock3D  # reference's basic-net pyramid choice
         c1, c2, c3, c4, c5 = ResNet3D(self.arch, self.dtype)(x)
         co = self.out_channels
         conv1 = lambda name: nn.Conv(co, (1, 1, 1), dtype=self.dtype, name=name)
         conv3 = lambda name: nn.Conv(co, (3, 3, 3), padding=1, dtype=self.dtype, name=name)
+        lateral_mid = conv3 if v3 else conv1  # c2/c3 lateral kind differs
 
         p5 = conv1("lateral5")(c5)
         p4 = conv1("lateral4")(c4)
         p4 = conv3("smooth4")(_upsample_to(p5, p4.shape[1:4]) + p4)
-        p3 = conv1("lateral3")(c3)
+        p3 = lateral_mid("lateral3")(c3)
         p3 = conv3("smooth3")(_upsample_to(p4, p3.shape[1:4]) + p3)
-        p2 = conv1("lateral2")(c2)
+        p2 = lateral_mid("lateral2")(c2)
         p2 = conv3("smooth2")(_upsample_to(p3, p2.shape[1:4]) + p2)
         p1 = conv3("lateral1")(c1)
         p1 = conv3("smooth1")(_upsample_to(p2, p1.shape[1:4]) + p1)

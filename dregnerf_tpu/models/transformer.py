@@ -31,17 +31,31 @@ class CrossEncoderLayer(nn.Module):
     num_heads: int = 8
     dim_feedforward: int = 1024
     dtype: Any = jnp.float32
+    # sequence-parallel seam (SURVEY §2.4/§5): when a Mesh is supplied the
+    # attention core runs token-sharded over `sp_axis` via
+    # parallel/sp_attention.make_flax_sp_attention_fn — exact equivalence,
+    # same parameters; None = plain local attention.
+    sp_mesh: Any = None
+    sp_axis: str = "data"
 
     @nn.compact
     def __call__(self, src, tgt, src_valid, tgt_valid, src_pos, tgt_pos):
+        if self.sp_mesh is not None:
+            from dregnerf_tpu.parallel.sp_attention import (
+                make_flax_sp_attention_fn,
+            )
+
+            attention_fn = make_flax_sp_attention_fn(self.sp_mesh, self.sp_axis)
+        else:
+            attention_fn = nn.dot_product_attention
         # shared modules (applied to both sides)
         self_attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=self.d_model,
-            dtype=self.dtype, name="self_attn",
+            dtype=self.dtype, attention_fn=attention_fn, name="self_attn",
         )
         cross_attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=self.d_model,
-            dtype=self.dtype, name="cross_attn",
+            dtype=self.dtype, attention_fn=attention_fn, name="cross_attn",
         )
         norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
         norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
@@ -75,6 +89,8 @@ class TransformerCrossEncoder(nn.Module):
     num_heads: int = 8
     dim_feedforward: int = 1024
     dtype: Any = jnp.float32
+    sp_mesh: Any = None  # sequence-parallel switch (see CrossEncoderLayer)
+    sp_axis: str = "data"
 
     @nn.compact
     def __call__(self, src, tgt, src_valid, tgt_valid, src_pos, tgt_pos):
@@ -88,7 +104,8 @@ class TransformerCrossEncoder(nn.Module):
         for i in range(self.num_layers):
             src, tgt = CrossEncoderLayer(
                 self.d_model, self.num_heads, self.dim_feedforward,
-                self.dtype, name=f"layer{i}",
+                self.dtype, sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
+                name=f"layer{i}",
             )(src, tgt, src_valid, tgt_valid, src_pos, tgt_pos)
             src_out.append(final_norm(src))
             tgt_out.append(final_norm(tgt))

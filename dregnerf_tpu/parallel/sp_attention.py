@@ -22,6 +22,55 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
+def make_flax_sp_attention_fn(mesh: Mesh, axis: str = "data"):
+    """Build an `attention_fn` for flax `nn.MultiHeadDotProductAttention`
+    that shards the QUERY/token axis over `axis` and all-gathers K/V.
+
+    This is the plumbing that turns the seam into a feature: pass the
+    returned fn as `attention_fn=` (TransformerCrossEncoder exposes it via
+    its `sp_mesh` switch) and the cross-encoder's six attention calls run
+    token-sharded over the mesh with exact (non-approximate) results.
+
+    Shapes follow flax's convention after projection:
+      query [B, Q, H, Dh], key/value [B, K, H, Dh], mask [B, 1|H, Q, K].
+    Q and K must divide the mesh axis size (the model pads tokens to a
+    static power-of-two capacity, so this holds by construction).
+    """
+
+    def attention_fn(query, key, value, bias=None, mask=None, **kwargs):
+        del kwargs  # dropout machinery unused (reference dropout = 0.0)
+        if bias is not None:
+            raise NotImplementedError("sp attention_fn supports mask only")
+        scale = jnp.sqrt(query.shape[-1]).astype(query.dtype)
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P(None, axis),
+                P(None, axis),
+                P(None, axis),
+                P(None, None, axis, None),
+            ),
+            out_specs=P(None, axis),
+        )
+        def attn(q_l, k_l, v_l, m_l):
+            k_full = jax.lax.all_gather(k_l, axis, axis=1, tiled=True)
+            v_full = jax.lax.all_gather(v_l, axis, axis=1, tiled=True)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q_l, k_full) / scale
+            logits = jnp.where(m_l, logits, jnp.asarray(-1e9, logits.dtype))
+            w = jax.nn.softmax(logits, axis=-1)
+            return jnp.einsum("bhqk,bkhd->bqhd", w, v_full)
+
+        if mask is None:
+            mask = jnp.ones(
+                (query.shape[0], 1, query.shape[1], key.shape[1]), bool
+            )
+        return attn(query, key, value, mask)
+
+    return attention_fn
+
+
 def sharded_attention(
     mesh: Mesh,
     q: jnp.ndarray,

@@ -76,35 +76,16 @@ def ssim(
     return jnp.mean(num / den)
 
 
-_LPIPS_NET = None
-
-
 def lpips(img0: np.ndarray, img1: np.ndarray) -> float | None:
-    """Host-side LPIPS(alex). Returns None when alexnet weights are not
-    available in the image (zero-egress environments)."""
-    global _LPIPS_NET
-    try:
-        import torch
-        import torchvision
+    """True LPIPS(alex) via utils/lpips.py (AlexNet taps + learned linear
+    calibration — the reference's `lpips` package math, utils.py:188-200).
 
-        if _LPIPS_NET is None:
-            _LPIPS_NET = torchvision.models.alexnet(weights="DEFAULT").features.eval()
-        net = _LPIPS_NET
-        with torch.no_grad():
+    Returns None when the calibration weights npz is absent (zero-egress
+    image; export with scripts/preprocess/export_lpips_weights.py). Never
+    reports an uncalibrated stand-in under this name."""
+    from dregnerf_tpu.utils.lpips import lpips_fn
 
-            def feats(x):
-                t = torch.from_numpy(np.asarray(x, np.float32)).permute(2, 0, 1)[None]
-                t = (t - 0.5) / 0.5
-                outs = []
-                for layer in net:
-                    t = layer(t)
-                    if isinstance(layer, torch.nn.ReLU):
-                        outs.append(t / (t.norm(dim=1, keepdim=True) + 1e-10))
-                return outs
-
-            f0, f1 = feats(img0), feats(img1)
-            return float(
-                sum(((a - b) ** 2).mean() for a, b in zip(f0, f1)) / len(f0)
-            )
-    except Exception:
+    fn = lpips_fn()
+    if fn is None:
         return None
+    return float(fn(jnp.asarray(img0, jnp.float32), jnp.asarray(img1, jnp.float32)))

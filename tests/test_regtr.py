@@ -182,3 +182,22 @@ class TestNeRFRegTr:
         out = model.apply(params, same)
         t = np.asarray(out["pose"][-1, :, 3])
         assert np.abs(t).max() < 3.0
+
+
+def test_fpn_v3_variant_for_basic_nets(key):
+    """Basic-block archs get the v3 pyramid (3x3x3 c2/c3 laterals,
+    reference feature_pyramid_net.py:111-179); bottleneck archs keep v1
+    (1x1x1). Both produce the finest 1/2-res out_channels volume."""
+    import jax
+    import jax.numpy as jnp
+
+    from dregnerf_tpu.models.resnet3d import FeaturePyramid3D
+
+    x = jnp.ones((1, 16, 16, 16, 4))
+    for arch, lateral_kernel in [("resnet18", 3), ("resnet50", 1)]:
+        fpn = FeaturePyramid3D(arch, out_channels=32)
+        params = fpn.init(key, x)["params"]
+        k2 = params["lateral2"]["kernel"].shape[0]
+        assert k2 == lateral_kernel, (arch, k2)
+        out = fpn.apply({"params": params}, x)
+        assert out.shape == (1, 8, 8, 8, 32)
