@@ -45,10 +45,10 @@ def main() -> None:
         render_step_size=float(3.0 * 3**0.5 / 1024),
         buffer_size=1 << 18,
         max_steps=1024,
-        # per-ray-quota packing: 1.2x faster than global compaction at full
-        # buffer utilization (see ops/ray_march.py); training keeps the
-        # compact default for its sample-budget feedback semantics
-        march_compaction="quota",
+        # row-packed marching: top_k selection + arithmetic sample
+        # positions + row compositor (see ops/ray_march.py RowSamples and
+        # scripts/perf/probe_march_parts.py for the measurements)
+        march_compaction="rows",
     )
 
     num_rays = 4096
@@ -56,24 +56,25 @@ def main() -> None:
     origins = jax.random.uniform(k1, (num_rays, 3), minval=-3.0, maxval=-2.0)
     viewdirs = -origins / jnp.linalg.norm(origins, axis=-1, keepdims=True)
 
-    # steady-state rendering reuses the packed grid tables (training re-packs
-    # in-graph for gradients; eval packs once)
+    # steady-state rendering reuses the packed grid tables and the packed
+    # occupancy regions (training re-packs per grid update — every 16 steps)
     params = jax.jit(lambda p: ngp.prepare_params(p, cfg))(params)
+    regions = jax.jit(occupancy.pack_regions)(grid.binary)
 
     @jax.jit
-    def render(params, origins, viewdirs):
+    def render(params, origins, viewdirs, regions):
         out, aux = render_rays(
             params, cfg, grid, origins, viewdirs, aabb, rcfg,
-            background=jnp.ones(3),
+            background=jnp.ones(3), regions=regions,
         )
         return out.rgb, aux["n_samples"]
 
-    rgb, n = render(params, origins, viewdirs)
+    rgb, n = render(params, origins, viewdirs, regions)
     jax.block_until_ready(rgb)
     iters = 10
     t0 = time.time()
     for _ in range(iters):
-        rgb, n = render(params, origins, viewdirs)
+        rgb, n = render(params, origins, viewdirs, regions)
     jax.block_until_ready(rgb)
     dt = (time.time() - t0) / iters
 

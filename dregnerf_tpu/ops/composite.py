@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from dregnerf_tpu.ops.ray_march import PackedSamples
+from dregnerf_tpu.ops.ray_march import PackedSamples, RowSamples
 
 
 class RenderOutput(NamedTuple):
@@ -29,6 +29,49 @@ class RenderOutput(NamedTuple):
     weights: jnp.ndarray  # [B] per-sample composite weights (T * alpha)
     transmittance: jnp.ndarray  # [B]
     alphas: jnp.ndarray  # [B]
+
+
+def composite_rows(
+    rows: RowSamples,
+    rgbs: jnp.ndarray,
+    sigmas: jnp.ndarray,
+    background: jnp.ndarray | None = None,
+) -> RenderOutput:
+    """Composite row-packed samples: all reductions are row ops.
+
+    rgbs: [R, K, 3]; sigmas: [R, K] (or [R, K, 1]). With samples aligned to
+    rays, the exclusive transmittance is a plain axis-1 cumsum of
+    log(1 - alpha) (no segment rebasing) and rgb/opacity/depth are axis-1
+    sums — 2.9ms vs 14.6ms for the segment-keyed equivalent at [4096, 64]
+    on v5e (scripts/perf/probe_march_parts.py).
+    """
+    sigmas = sigmas.reshape(rows.valid.shape).astype(jnp.float32)
+    alphas = 1.0 - jnp.exp(-sigmas * rows.dt)
+    alphas = jnp.where(rows.valid, alphas, 0.0)  # [R, K]
+
+    log_1ma = jnp.log(jnp.clip(1.0 - alphas, 1e-10, 1.0))
+    csum = jnp.cumsum(log_1ma, axis=1)
+    excl = jnp.concatenate(
+        [jnp.zeros((alphas.shape[0], 1), csum.dtype), csum[:, :-1]], axis=1
+    )
+    trans = jnp.where(rows.valid, jnp.exp(excl), 0.0)
+    weights = alphas * trans  # [R, K]
+
+    rgb = jnp.sum(weights[..., None] * rgbs.astype(jnp.float32), axis=1)
+    opacity = jnp.sum(weights, axis=1)
+    t_mid = rows.t_start + 0.5 * rows.dt
+    depth = jnp.sum(weights * t_mid, axis=1)
+
+    if background is not None:
+        rgb = rgb + (1.0 - opacity)[:, None] * background
+    return RenderOutput(
+        rgb=rgb,
+        opacity=opacity,
+        depth=depth,
+        weights=weights,
+        transmittance=trans,
+        alphas=alphas,
+    )
 
 
 def packed_alphas(packed: PackedSamples, sigmas: jnp.ndarray) -> jnp.ndarray:

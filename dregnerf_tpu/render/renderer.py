@@ -16,9 +16,14 @@ import jax
 import jax.numpy as jnp
 
 from dregnerf_tpu.models import ngp
-from dregnerf_tpu.ops.composite import RenderOutput, composite
+from dregnerf_tpu.ops.composite import RenderOutput, composite, composite_rows
 from dregnerf_tpu.ops.occupancy import OccupancyGrid
-from dregnerf_tpu.ops.ray_march import march_rays, sample_positions
+from dregnerf_tpu.ops.ray_march import (
+    march_rays,
+    march_rays_rows,
+    row_sample_positions,
+    sample_positions,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -30,7 +35,11 @@ class RenderConfig:
     near_plane: float = 0.0
     far_plane: float = 1e10
     chunk_size: int = 8192
-    march_compaction: str = "compact"  # or "quota" (see ops/ray_march.py)
+    # "rows" (row-packed top_k marcher + row compositor — fastest, the
+    # default), "quota" (flat per-ray-quota buffer) or "compact" (global
+    # gather-by-rank packing, tightest buffer utilization). See
+    # ops/ray_march.py for the tradeoffs.
+    march_compaction: str = "rows"
 
 
 def render_rays(
@@ -47,6 +56,7 @@ def render_rays(
     t_max: jnp.ndarray | None = None,
     field=ngp,
     times: jnp.ndarray | None = None,
+    regions: jnp.ndarray | None = None,
 ) -> tuple[RenderOutput, dict]:
     """Render one ray bucket.
 
@@ -60,6 +70,11 @@ def render_rays(
     nerfacc's CUDA visibility filter; on TPU one fused batch is cheaper
     than re-querying the hash grid).
     """
+    if config.march_compaction == "rows":
+        return _render_rays_rows(
+            params, model_config, grid, origins, viewdirs, aabb, config,
+            background, stratified, key, t_max, field, times, regions,
+        )
     packed = march_rays(
         origins,
         viewdirs,
@@ -75,6 +90,7 @@ def render_rays(
         stratified=stratified,
         key=key,
         compaction=config.march_compaction,
+        regions=regions,
     )
     positions, dirs = sample_positions(packed, origins, viewdirs)
     if times is not None:
@@ -98,6 +114,51 @@ def render_rays(
     return out, aux
 
 
+def _render_rays_rows(
+    params, model_config, grid, origins, viewdirs, aabb, config,
+    background, stratified, key, t_max, field, times, regions,
+) -> tuple[RenderOutput, dict]:
+    """Row-packed render path: K = buffer_size / num_rays slots per ray;
+    positions by arithmetic (no gathers), row compositor. The fast path —
+    see ops/ray_march.py RowSamples."""
+    num_rays = origins.shape[0]
+    # a ray cannot yield more than max_steps survivors (top_k bound)
+    k_per_ray = min(max(config.buffer_size // num_rays, 1), config.max_steps)
+    rows = march_rays_rows(
+        origins,
+        viewdirs,
+        grid,
+        aabb,
+        config.contraction,
+        config.render_step_size,
+        k_per_ray,
+        config.max_steps,
+        config.near_plane,
+        config.far_plane,
+        t_max=t_max,
+        stratified=stratified,
+        key=key,
+        regions=regions,
+    )
+    positions, dirs = row_sample_positions(rows, origins, viewdirs)
+    if times is not None:
+        t_sample = jnp.broadcast_to(
+            times[:, None, None], (*rows.valid.shape, 1)
+        )
+        rgbs, sigmas = field.forward(
+            params, positions, dirs, aabb, model_config, t=t_sample
+        )
+    else:
+        rgbs, sigmas = field.forward(params, positions, dirs, aabb, model_config)
+    sigmas = jnp.where(rows.valid, sigmas.reshape(rows.valid.shape), 0.0)
+    out = composite_rows(rows, rgbs, sigmas, background=background)
+    aux = {
+        "n_samples": rows.num_samples,
+        "ray_counts": jnp.sum(rows.valid.astype(jnp.int32), axis=1),
+    }
+    return out, aux
+
+
 def render_image_chunked(
     params: Any,
     model_config: ngp.NGPConfig,
@@ -118,8 +179,11 @@ def render_image_chunked(
     Rays are padded to a multiple of chunk_size; chunks are processed with
     lax.map so the program compiles once.
     """
+    from dregnerf_tpu.ops.occupancy import pack_regions
+
     if hasattr(field, "prepare_params"):
         params = field.prepare_params(params, model_config)  # pack once, not per chunk
+    regions = pack_regions(grid.binary)  # once, not per chunk (~6ms each)
     n = origins.shape[0]
     cs = config.chunk_size
     buf = eval_buffer_size or config.buffer_size
@@ -140,7 +204,7 @@ def render_image_chunked(
         oc, dc = args
         out, _ = render_rays(
             params, model_config, grid, oc, dc, aabb, chunk_cfg, background,
-            field=field, times=times,
+            field=field, times=times, regions=regions,
         )
         return out.rgb, out.opacity, out.depth
 

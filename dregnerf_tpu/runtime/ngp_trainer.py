@@ -38,6 +38,7 @@ from dregnerf_tpu.datasets.base import SceneData
 from dregnerf_tpu.geometry.cameras import rays_from_pixels
 from dregnerf_tpu.models import ngp
 from dregnerf_tpu.ops import occupancy
+from dregnerf_tpu.parallel.mesh import make_mesh_from_config
 from dregnerf_tpu.ops.contraction import contract_inv
 from dregnerf_tpu.render.renderer import RenderConfig, render_rays, render_image_chunked
 from dregnerf_tpu.runtime.checkpoint import CheckpointManager
@@ -54,6 +55,9 @@ class NGPTrainState:
     opt_state: Any
     grid: occupancy.OccupancyGrid
     step: int = 0
+    # packed occupancy regions, refreshed only when `grid` changes (every
+    # OCC_UPDATE_INTERVAL steps) instead of re-packed inside every render
+    regions: Any = None
 
 
 def huber(x: jnp.ndarray, delta: float = 1.0) -> jnp.ndarray:
@@ -106,6 +110,7 @@ class NGPTrainer:
         self.build_networks()
         self.setup_optimizer()
         self._move_data_to_device()
+        self.mesh = make_mesh_from_config(config)  # None unless --mesh_shape
         self._step_fns: dict[int, Any] = {}
         self.num_rays = int(config.init_num_rays)
         self.state = NGPTrainState(
@@ -160,6 +165,14 @@ class NGPTrainer:
             near_plane=self.near_plane,
             far_plane=self.far_plane,
             chunk_size=cfg.test_chunk_size,
+            # training keeps GLOBAL compaction: the reference's sample-budget
+            # semantics give every ray its full sample list and regulate cost
+            # through the ray count (train_ngp_nerf.py:313-319). The row-packed
+            # mode caps samples PER RAY at budget/rays, which truncates scene
+            # traversal when that ratio is small — fine for steady-state
+            # rendering (transmittance kills truncated tails) but measurably
+            # worse for training from scratch (fixture PSNR 13.1 vs 14.2).
+            march_compaction="compact",
         )
 
     def setup_optimizer(self) -> None:
@@ -176,6 +189,8 @@ class NGPTrainer:
 
     # ------------------------------------------------------------- train step
     def _make_step_fn(self, num_rays: int):
+        if self.mesh is not None:
+            return self._make_dp_step_fn(num_rays)
         cfg = self.config
         model_cfg = self.model_config
         rcfg = self.render_config
@@ -188,7 +203,7 @@ class NGPTrainer:
         timestamps = self.timestamps  # tiny [N_img] array or None (static)
 
         @jax.jit
-        def step_fn(params, opt_state, grid, images, c2ws, K, key):
+        def step_fn(params, opt_state, grid, regions, images, c2ws, K, key):
             kimg, kx, ky, kbg, kmarch = jax.random.split(key, 5)
             n_img = images.shape[0]
             img_id = jax.random.randint(kimg, (num_rays,), 0, n_img)
@@ -207,7 +222,7 @@ class NGPTrainer:
                 out, aux = render_rays(
                     p, model_cfg, grid, rays.origins, rays.viewdirs, aabb, rcfg,
                     background=bg, stratified=True, key=kmarch, field=field,
-                    times=ray_times,
+                    times=ray_times, regions=regions,
                 )
                 alive = (aux["ray_counts"] > 0).astype(jnp.float32)
                 n_alive = jnp.maximum(jnp.sum(alive), 1.0)
@@ -230,6 +245,31 @@ class NGPTrainer:
             return params, opt_state, metrics
 
         return step_fn
+
+    def _make_dp_step_fn(self, num_rays: int):
+        """Mesh-sharded step (--mesh_shape): rays split over the data axis,
+        gradients psum'd over ICI; dynamic batching feedback stays GLOBAL
+        (num_rays is the global ray count)."""
+        from dregnerf_tpu.parallel.ngp_dp import make_dp_train_step  # lazy: cycle
+
+        n_data = self.mesh.shape["data"]
+        return make_dp_train_step(
+            self.mesh,
+            self.optimizer,
+            self.model_config,
+            self.render_config,
+            self.aabb,
+            (self.scene.height, self.scene.width),
+            synthetic=self.scene.synthetic,
+            opengl=self.scene.opengl,
+            num_rays_per_device=max(num_rays // n_data, 1),
+            field=self.field,
+            timestamps=self.timestamps,
+        )
+
+    @functools.cached_property
+    def _pack_regions(self):
+        return jax.jit(occupancy.pack_regions)
 
     @functools.cached_property
     def _occ_update_fns(self):
@@ -272,13 +312,16 @@ class NGPTrainer:
             s.grid = self._occ_update_fns[warmup](
                 s.grid, s.params, jax.random.fold_in(key, 1)
             )
+            s.regions = None  # grid changed; repack below
+        if s.regions is None:
+            s.regions = self._pack_regions(s.grid.binary)
 
         bucket = self.num_rays
         if bucket not in self._step_fns:
             self._step_fns[bucket] = self._make_step_fn(bucket)
         s.params, s.opt_state, metrics = self._step_fns[bucket](
-            s.params, s.opt_state, s.grid, self.images, self.c2ws, self.K,
-            jax.random.fold_in(key, 0),
+            s.params, s.opt_state, s.grid, s.regions, self.images, self.c2ws,
+            self.K, jax.random.fold_in(key, 0),
         )
 
         # dynamic ray batching: track the sample budget, pow2 buckets

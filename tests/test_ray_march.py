@@ -283,3 +283,166 @@ class TestQuotaCompaction:
         # ray 1)
         assert set(np.unique(rid)) == {0, 1}
         assert (np.bincount(rid) <= 16).all()
+
+
+class TestRowMarch:
+    """Row-packed marching (RowSamples) vs the quota/flat paths."""
+
+    def _scene(self, key, res=32, occ=0.3, n=64):
+        import jax
+
+        from dregnerf_tpu.ops import occupancy
+
+        binary = jax.random.uniform(key, (res, res, res)) < occ
+        grid = occupancy.init_grid(res)._replace(binary=binary)
+        aabb = jnp.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+        k1, k2 = jax.random.split(key)
+        origins = jax.random.uniform(k1, (n, 3), minval=-3.0, maxval=-2.5)
+        viewdirs = -origins / jnp.linalg.norm(origins, axis=-1, keepdims=True)
+        return grid, aabb, origins, viewdirs
+
+    def test_rows_match_quota_selection(self, key):
+        """Same group span -> identical live sample sets and t values."""
+        import numpy as np
+
+        from dregnerf_tpu.ops.ray_march import march_rays, march_rays_rows
+
+        grid, aabb, o, d = self._scene(key)
+        step, S, K = 0.02, 128, 16
+        rows = march_rays_rows(
+            o, d, grid, aabb, "aabb", step, K, S, group_span_cells=1.5
+        )
+        flat = march_rays(
+            o, d, grid, aabb, "aabb", step, K * o.shape[0], S,
+            compaction="quota",
+        )
+        n = o.shape[0]
+        t_flat = np.asarray(flat.t_start[: n * K]).reshape(n, K)
+        v_flat = np.asarray(flat.valid[: n * K]).reshape(n, K)
+        np.testing.assert_array_equal(np.asarray(rows.valid), v_flat)
+        np.testing.assert_allclose(
+            np.asarray(rows.t_start) * v_flat, t_flat * v_flat, atol=1e-6
+        )
+        assert int(rows.num_samples) == int(flat.num_samples)
+
+    def test_rows_depth_ordered_and_occupied(self, key):
+        import numpy as np
+
+        from dregnerf_tpu.ops.ray_march import march_rays_rows
+
+        grid, aabb, o, d = self._scene(key)
+        rows = march_rays_rows(o, d, grid, aabb, "aabb", 0.02, 16, 128)
+        t = np.asarray(rows.t_start)
+        v = np.asarray(rows.valid)
+        for r in range(t.shape[0]):
+            tv = t[r][v[r]]
+            assert (np.diff(tv) > 0).all()  # strictly increasing depth
+        # padding trails validity
+        first_invalid = np.argmin(v, axis=1)
+        for r in range(v.shape[0]):
+            if not v[r].all():
+                assert not v[r][first_invalid[r]:].any()
+
+    def test_rows_respect_t_max(self, key):
+        import numpy as np
+
+        from dregnerf_tpu.ops.ray_march import march_rays_rows
+
+        grid, aabb, o, d = self._scene(key, occ=1.0)
+        t_max = jnp.full((o.shape[0],), 2.2)
+        rows = march_rays_rows(
+            o, d, grid, aabb, "aabb", 0.02, 32, 128, t_max=t_max
+        )
+        t_mid = np.asarray(rows.t_start) + 0.01
+        v = np.asarray(rows.valid)
+        assert (t_mid[v] < 2.2).all()
+
+    def test_render_rows_matches_quota_full_grid(self, key):
+        """Full render equivalence on an all-occupied grid (span-independent
+        masks): rows path == quota path rgb/opacity/depth."""
+        import dataclasses
+
+        import numpy as np
+
+        from dregnerf_tpu.models import ngp
+        from dregnerf_tpu.ops.packed_grid import PackedGridConfig
+        from dregnerf_tpu.render.renderer import RenderConfig, render_rays
+
+        grid, aabb, o, d = self._scene(key, occ=2.0)  # all occupied
+        cfg = ngp.NGPConfig(
+            grid=PackedGridConfig(n_levels=2, log2_table_size=8),
+            compute_dtype=jnp.float32,
+        )
+        params = ngp.init_ngp(key, cfg)
+        rcfg = RenderConfig(
+            render_step_size=0.02, buffer_size=64 * 32, max_steps=128,
+            march_compaction="rows",
+        )
+        out_r, aux_r = render_rays(
+            params, cfg, grid, o, d, aabb, rcfg, background=jnp.ones(3)
+        )
+        out_q, aux_q = render_rays(
+            params, cfg, grid, o, d, aabb,
+            dataclasses.replace(rcfg, march_compaction="quota"),
+            background=jnp.ones(3),
+        )
+        assert int(aux_r["n_samples"]) == int(aux_q["n_samples"])
+        np.testing.assert_array_equal(
+            np.asarray(aux_r["ray_counts"]), np.asarray(aux_q["ray_counts"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_r.rgb), np.asarray(out_q.rgb), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_r.opacity), np.asarray(out_q.opacity), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_r.depth), np.asarray(out_q.depth), atol=2e-4
+        )
+
+    def test_composite_rows_matches_packed(self, key):
+        """composite_rows == composite on the equivalent flat buffer."""
+        import jax
+        import numpy as np
+
+        from dregnerf_tpu.ops.composite import composite, composite_rows
+        from dregnerf_tpu.ops.ray_march import PackedSamples, RowSamples
+
+        R, K, dt = 8, 16, 0.05
+        k1, k2, k3 = jax.random.split(key, 3)
+        t0 = jnp.cumsum(jax.random.uniform(k1, (R, K)) * 0.1, axis=1)
+        counts = jax.random.randint(k2, (R,), 0, K + 1)
+        valid = jnp.arange(K)[None, :] < counts[:, None]
+        sig = jax.random.uniform(k3, (R, K)) * 30
+        rgbs = jax.random.uniform(key, (R, K, 3))
+
+        rows = RowSamples(
+            t_start=jnp.where(valid, t0, 0.0), dt=dt, valid=valid,
+            num_samples=valid.sum(),
+        )
+        out_r = composite_rows(rows, rgbs, sig, background=jnp.ones(3))
+
+        ray_id = jnp.where(
+            valid, jnp.arange(R, dtype=jnp.int32)[:, None], R
+        ).reshape(-1)
+        packed = PackedSamples(
+            ray_id=ray_id,
+            t_start=rows.t_start.reshape(-1),
+            t_end=rows.t_start.reshape(-1) + dt,
+            valid=valid.reshape(-1),
+            num_samples=valid.sum(),
+            num_rays=R,
+        )
+        out_p = composite(
+            packed, rgbs.reshape(-1, 3),
+            jnp.where(valid, sig, 0.0).reshape(-1), background=jnp.ones(3),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_r.rgb), np.asarray(out_p.rgb), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_r.opacity), np.asarray(out_p.opacity), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_r.depth), np.asarray(out_p.depth), atol=1e-5
+        )
