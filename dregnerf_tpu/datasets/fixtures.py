@@ -35,12 +35,30 @@ SPHERES = [
 ]
 
 
-def _trace(origins: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+def random_spheres(seed: int, n_min: int = 3, n_max: int = 5):
+    """Random asymmetric sphere cluster — scene variety for multi-scene
+    fleets (stage-3 experiments need >1 object geometry)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(n_min, n_max + 1))
+    spheres = [(np.zeros(3), float(rng.uniform(0.3, 0.45)),
+                rng.uniform(0.15, 0.95, 3))]
+    for _ in range(n - 1):
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d)
+        spheres.append((
+            d * rng.uniform(0.3, 0.55),
+            float(rng.uniform(0.1, 0.28)),
+            rng.uniform(0.15, 0.95, 3),
+        ))
+    return spheres
+
+
+def _trace(origins: np.ndarray, dirs: np.ndarray, spheres=None) -> np.ndarray:
     """Return [N, 4] RGBA via nearest sphere hit with normal shading."""
     n = origins.shape[0]
     best_t = np.full(n, np.inf)
     rgba = np.zeros((n, 4), np.float32)
-    for center, radius, albedo in SPHERES:
+    for center, radius, albedo in (SPHERES if spheres is None else spheres):
         oc = origins - center
         b = np.sum(oc * dirs, axis=-1)
         c = np.sum(oc * oc, axis=-1) - radius**2
@@ -64,11 +82,13 @@ def make_scene(
     camera_distance: float = 3.0,
     fov_x: float = 0.9,
     seed: int = 0,
+    name: str = "fixture_scene",
+    spheres=None,
 ) -> str:
-    """Write <out_dir>/fixture_scene/{transforms.json, r_*.png}. Returns subject dir."""
+    """Write <out_dir>/<name>/{transforms.json, r_*.png}. Returns subject dir."""
     import imageio.v2 as imageio
 
-    subject = os.path.join(out_dir, "fixture_scene")
+    subject = os.path.join(out_dir, name)
     os.makedirs(subject, exist_ok=True)
     rng = np.random.default_rng(seed)
     h = w = image_size
@@ -92,7 +112,7 @@ def make_scene(
         dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
         origins = np.tile(c2w[:3, 3], (dirs.shape[0], 1))
 
-        rgba = _trace(origins, dirs).reshape(h, w, 4)
+        rgba = _trace(origins, dirs, spheres).reshape(h, w, 4)
         img = (rgba * 255).astype(np.uint8)
         name = f"r_{i}"
         imageio.imwrite(os.path.join(subject, name + ".png"), img)

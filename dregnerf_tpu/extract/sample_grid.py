@@ -129,10 +129,31 @@ def compute_surface_mask(
     chunk: int = 8192,
     buffer_size: int = 1 << 17,
     cutoff: float = SURFACE_CUTOFF,
+    mesh=None,
 ) -> np.ndarray:
-    """[Np] bool: max over cameras of per-ray S >= cutoff (the Nc x Np pass)."""
+    """[Np] bool: max over cameras of per-ray S >= cutoff (the Nc x Np pass).
+
+    With `mesh` (from --mesh_shape) the ray axis of each chunk is sharded
+    over the mesh's data axis (parallel/extract_sharded.py — zero
+    collectives, perfect scaling on the extraction bottleneck)."""
     np_pts = points_world.shape[0]
-    fn = make_surface_chunk_fn(params, model_cfg, grid, aabb, rcfg, chunk, buffer_size)
+    if mesh is not None:
+        from dregnerf_tpu.parallel.extract_sharded import make_sharded_surface_fn
+
+        n_data = int(mesh.shape["data"])
+        chunk = -(-chunk // n_data) * n_data  # pad chunk to divide evenly
+        sharded = make_sharded_surface_fn(
+            mesh, model_cfg, aabb, rcfg,
+            buffer_per_device=max(buffer_size // n_data, 1),
+        )
+        grid_tuple = grid
+
+        def fn(o, d, t):
+            return sharded(params, grid_tuple, o, d, t)
+    else:
+        fn = make_surface_chunk_fn(
+            params, model_cfg, grid, aabb, rcfg, chunk, buffer_size
+        )
     surface = np.zeros(np_pts, np.float32)
     for cam in camera_poses:
         origin = np.asarray(cam)[:3, 3]
@@ -195,8 +216,11 @@ def extract_voxel_features(
     key: jax.Array,
     density_threshold: float = DENSITY_THRESHOLD,
     surface_chunk: int = 8192,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
-    """Full extraction (reference query_radiance_and_density_from_camera)."""
+    """Full extraction (reference query_radiance_and_density_from_camera).
+
+    `mesh` shards the Nc x Np surface pass over the mesh's data axis."""
     aabb = jnp.asarray(meta["aabb"], jnp.float32)
     contraction = meta["contraction_type"]
     rcfg = RenderConfig(
@@ -209,7 +233,7 @@ def extract_voxel_features(
     camera_poses = np.asarray(meta["camera_poses"], np.float32)
     surface_mask = compute_surface_mask(
         params, model_cfg, grid, aabb, rcfg, points, camera_poses,
-        chunk=surface_chunk,
+        chunk=surface_chunk, mesh=mesh,
     )
     rgb, sigma, alpha = query_features(params, model_cfg, aabb, points)
     density_mask = sigma > density_threshold

@@ -36,6 +36,27 @@ def make_mesh(
     return Mesh(arr, tuple(axis_names))
 
 
+def make_mesh_from_config(config) -> Mesh | None:
+    """Honor the CLI's --mesh_shape: '' or product 1 -> None (single
+    device); '8' -> 8-way data mesh; '4,2' -> (data, model). The trainers
+    and extraction route through the DP/sharded paths when this is set."""
+    spec = getattr(config, "mesh_shape", "") or ""
+    if not spec.strip():
+        return None
+    dims = [int(x) for x in spec.split(",") if x.strip()]
+    n = int(np.prod(dims))
+    if n <= 1:
+        return None
+    avail = len(jax.devices())
+    if n > avail:
+        raise ValueError(
+            f"--mesh_shape {spec} needs {n} devices, only {avail} visible"
+        )
+    names = ("data", "model")[: len(dims)]
+    devices = np.asarray(jax.devices()[:n]).reshape(tuple(dims))
+    return Mesh(devices, names)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

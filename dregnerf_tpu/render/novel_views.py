@@ -52,7 +52,7 @@ def synthesize_novel_views(
     paths = []
     for i in range(len(ds)):
         rays = ds[i]
-        rgb, _, _ = render_image_chunked(
+        rgb, _, depth = render_image_chunked(
             params, model_cfg, grid,
             rays.origins.reshape(-1, 3), rays.viewdirs.reshape(-1, 3),
             aabb, render_cfg, jnp.ones(3),
@@ -61,7 +61,60 @@ def synthesize_novel_views(
         p = os.path.join(out_dir, f"frame_{i:04d}.png")
         imageio.imwrite(p, (img * 255).astype(np.uint8))
         paths.append(p)
+        np.save(os.path.join(out_dir, f"depth_{i:04d}.npy"),
+                np.asarray(depth).reshape(ds.height, ds.width))
     return paths
+
+
+def render_pair_views(
+    src_ckpt: str,
+    tgt_ckpt: str,
+    poses: np.ndarray,
+    pose_src_to_tgt: Optional[np.ndarray],
+    out_dir: str,
+    prefix: str,
+    dataset: str = "objaverse",
+    factor: int = 8,
+    chunk_size: int = 8192,
+    fps: int = 4,
+) -> Optional[str]:
+    """Fused-scene render (reference render_videos, eval_nerf_regtr.py:112-172):
+    render the SRC NeRF at `poses` (src frame) and the TGT NeRF at the same
+    cameras mapped into the tgt frame by `pose_src_to_tgt` (None =
+    unaligned: identical poses in both frames), then write side-by-side
+    [src rgb | src depth | tgt rgb | tgt depth] frames and an mp4.
+
+    Returns the mp4 path (or None when ffmpeg is unavailable; frames are
+    still written).
+    """
+    import imageio.v2 as imageio
+
+    from dregnerf_tpu.utils.visualization import colorize_np
+
+    src_dir = os.path.join(out_dir, f"{prefix}_src_images")
+    tgt_dir = os.path.join(out_dir, f"{prefix}_tgt_images")
+    pair_dir = os.path.join(out_dir, f"{prefix}_images")
+    os.makedirs(pair_dir, exist_ok=True)
+
+    src_frames = synthesize_novel_views(
+        src_ckpt, poses, src_dir, dataset, factor, None, chunk_size
+    )
+    tgt_frames = synthesize_novel_views(
+        tgt_ckpt, poses, tgt_dir, dataset, factor, pose_src_to_tgt, chunk_size
+    )
+    for i, (sp, tp) in enumerate(zip(src_frames, tgt_frames)):
+        src_rgb = np.asarray(imageio.imread(sp), np.float32) / 255.0
+        tgt_rgb = np.asarray(imageio.imread(tp), np.float32) / 255.0
+        src_d = colorize_np(np.load(os.path.join(src_dir, f"depth_{i:04d}.npy")))
+        tgt_d = colorize_np(np.load(os.path.join(tgt_dir, f"depth_{i:04d}.npy")))
+        pair = np.concatenate([src_rgb, src_d, tgt_rgb, tgt_d], axis=1)
+        imageio.imwrite(
+            os.path.join(pair_dir, f"frame_{i:04d}.png"),
+            (np.clip(pair, 0, 1) * 255).astype(np.uint8),
+        )
+    mp4 = os.path.join(out_dir, f"{prefix}_src_tgt_rgb_depth.mp4")
+    ok = frames_to_video(pair_dir, mp4, fps=fps)
+    return mp4 if ok else None
 
 
 def frames_to_video(frame_dir: str, out_path: str, fps: int = 24) -> bool:

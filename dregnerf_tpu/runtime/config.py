@@ -74,6 +74,9 @@ def config_parser(argv=None) -> argparse.Namespace:
     # log/saving
     parser.add_argument("--enable_tensorboard", action="store_true")
     parser.add_argument("--enable_visdom", action="store_true")
+    parser.add_argument("--render_videos", action="store_true",
+                        help="registration eval: render fused src/tgt "
+                        "novel-view videos (gt/aligned/unaligned orbits)")
     parser.add_argument("--n_tensorboard", type=int, default=30)
     parser.add_argument("--n_validation", type=int, default=2500)
     parser.add_argument("--n_checkpoint", type=int, default=5000)

@@ -200,6 +200,19 @@ class RegTrainer:
                 "--visibility exact supports reg_batch_size=1 (the reference "
                 "trains at batch 1; exact labels march Nc rays per keypoint)"
             )
+        from dregnerf_tpu.parallel.mesh import make_mesh_from_config
+
+        self.mesh = make_mesh_from_config(config)  # --mesh_shape: DP over pairs
+        if self.mesh is not None:
+            if self.visibility == "exact":
+                raise ValueError(
+                    "--mesh_shape with --visibility exact is not supported yet"
+                )
+            if int(getattr(config, "reg_batch_size", 1)) > 1:
+                raise ValueError(
+                    "--mesh_shape shards one pair per device; leave "
+                    "--reg_batch_size at 1 (pairs per step = mesh size)"
+                )
         from collections import OrderedDict
 
         self._vis_cache: "OrderedDict[str, Any]" = OrderedDict()
@@ -230,6 +243,14 @@ class RegTrainer:
         }
 
     def _make_step_fn(self):
+        if getattr(self, "mesh", None) is not None:
+            # DP over pairs: one pair per device, pmean'd grads over ICI
+            from dregnerf_tpu.parallel.regtr_dp import make_dp_reg_step
+
+            return make_dp_reg_step(
+                self.mesh, self.model, self.optimizer, self.aabb,
+                self.grid_resolution, self.config.robust_loss,
+            )
         model = self.model
         aabb = self.aabb
         res = self.grid_resolution
@@ -344,11 +365,17 @@ class RegTrainer:
         return step
 
     def train_iteration_batch(self, items) -> Dict[str, float]:
-        """Multi-pair step: stack host items along a leading pair axis."""
-        batch = {
-            k: jnp.stack([jnp.asarray(it[k]) for it in items])
-            for k in ("src_grid", "tgt_grid", "src_mask", "tgt_mask", "pose")
-        }
+        """Multi-pair step: stack host items along a leading pair axis
+        (vmapped when single-device, device-sharded when --mesh_shape)."""
+        if getattr(self, "mesh", None) is not None:
+            from dregnerf_tpu.parallel.regtr_dp import shard_pair_batch
+
+            batch = shard_pair_batch(self.mesh, items)
+        else:
+            batch = {
+                k: jnp.stack([jnp.asarray(it[k]) for it in items])
+                for k in ("src_grid", "tgt_grid", "src_mask", "tgt_mask", "pose")
+            }
         self.params, self.opt_state, metrics = self._step_fn(
             self.params, self.opt_state, batch
         )
@@ -392,6 +419,8 @@ class RegTrainer:
         from dregnerf_tpu.runtime.resilience import run_with_retries
 
         bsz = max(int(getattr(cfg, "reg_batch_size", 1)), 1)
+        if getattr(self, "mesh", None) is not None:
+            bsz = int(self.mesh.shape["data"])  # one pair per device
         while self.iteration < max_iterations:
             order = rng.permutation(len(self.train_dataset))
             if bsz > 1:

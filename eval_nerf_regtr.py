@@ -73,6 +73,7 @@ class RegEvaluator:
             pred = self._forward(self.params, batch)
             pose = np.asarray(jax.block_until_ready(pred["pose"][-1]))
             dt = time.time() - t0
+            pred_np = {k: np.asarray(v) for k, v in pred.items()}
             gt = np.asarray(item["pose"])[:3, :4]
             rre, rte = se3.pose_error(pose, gt)
             scene = item["scene"]
@@ -124,30 +125,70 @@ class RegEvaluator:
             except FileNotFoundError:
                 pass
 
-            # novel-view videos: render the src NeRF aligned by the
-            # predicted pose vs unaligned vs GT (reference render_videos x3,
-            # eval_nerf_regtr.py:348-369); skipped without a NeRF checkpoint
-            if self.config.enable_visdom or os.environ.get("DREG_RENDER_VIDEOS"):
+            # keypoint / overlap-filtered cloud artifacts (reference
+            # eval_nerf_regtr.py:371-438)
+            self._dump_keypoint_clouds(scene_dir, pred_np, pose, gt)
+
+            # fused-scene videos: src + pred/gt-aligned tgt NeRF rendered
+            # side by side (reference render_videos x3,
+            # eval_nerf_regtr.py:348-369); skipped without NeRF checkpoints
+            if getattr(self.config, "render_videos", False) or os.environ.get(
+                "DREG_RENDER_VIDEOS"
+            ):
                 self._render_videos(scene_dir, item, pose, gt)
 
             print(f"[eval] {scene}: RRE {float(rre):.3f} deg RTE {float(rte):.4f} ({dt:.2f}s)")
 
         return self._agg_and_write(per_scene, fgr_per_scene)
 
-    def _render_videos(self, scene_dir, item, pose_est, pose_gt) -> None:
-        """Render short aligned/unaligned/gt orbits from the src NeRF."""
-        import numpy as np
+    def _dump_keypoint_clouds(self, scene_dir, pred, pose_est, pose_gt) -> None:
+        """Keypoint + overlap-score-filtered cloud artifacts (reference
+        eval_nerf_regtr.py:371-438): src_xyz / tgt_xyz / *_kp_warped,
+        red+green composites, noisy_point_cloud_{pred,gt} and the
+        overlap>=0.5-filtered point_cloud_{pred,gt}."""
+        from dregnerf_tpu.io.ply import write_ply
 
-        from dregnerf_tpu.render.novel_views import (
-            frames_to_video,
-            synthesize_novel_views,
-        )
+        red = np.array([1.0, 0.0, 0.0])
+        green = np.array([0.0, 1.0, 0.0])
+        sv = pred["src_valid"].astype(bool)
+        tv = pred["tgt_valid"].astype(bool)
+        src_kp = pred["src_kp"][sv]
+        tgt_kp = pred["tgt_kp"][tv]
+        src_warp = pred["src_kp_warped"][-1][sv]
+        tgt_warp = pred["tgt_kp_warped"][-1][tv]
 
-        ckpt = item.get("src_nerf_path", "")
-        if not (ckpt and os.path.exists(ckpt) and ckpt.endswith(".ckpt")):
-            return
-        # small orbit of poses around the scene
-        n = 12
+        def dump(name, pts, cols=None):
+            write_ply(os.path.join(scene_dir, name), pts, cols)
+
+        dump("src_xyz.ply", src_kp)
+        dump("tgt_xyz.ply", tgt_kp)
+        dump("src_kp_warped.ply", src_warp)
+        dump("tgt_kp_warped.ply", tgt_warp)
+        dump("all_src_xyz.ply", np.concatenate([src_kp, tgt_warp]),
+             np.concatenate([np.tile(red, (len(src_kp), 1)),
+                             np.tile(green, (len(tgt_warp), 1))]))
+        dump("all_tgt_xyz.ply", np.concatenate([src_warp, tgt_kp]),
+             np.concatenate([np.tile(red, (len(src_warp), 1)),
+                             np.tile(green, (len(tgt_kp), 1))]))
+
+        overlap = np.concatenate(
+            [pred["src_overlap"][-1][sv], pred["tgt_overlap"][-1][tv]]) >= 0.5
+        src_pred = src_kp @ pose_est[:3, :3].T + pose_est[:3, 3]
+        fused_pred = np.concatenate([src_pred, tgt_kp])
+        dump("noisy_point_cloud_pred.ply", fused_pred,
+             np.concatenate([np.tile(red, (len(src_pred), 1)),
+                             np.tile(green, (len(tgt_kp), 1))]))
+        dump("point_cloud_pred.ply", fused_pred[overlap],
+             np.tile(green, (int(overlap.sum()), 1)))
+        src_gt = src_kp @ pose_gt[:3, :3].T + pose_gt[:3, 3]
+        fused_gt = np.concatenate([src_gt, tgt_kp])
+        dump("noisy_point_cloud_gt.ply", fused_gt,
+             np.tile(red, (len(fused_gt), 1)))
+        dump("point_cloud_gt.ply", fused_gt[overlap],
+             np.tile(red, (int(overlap.sum()), 1)))
+
+    @staticmethod
+    def _orbit_poses(n: int = 12) -> np.ndarray:
         poses = []
         for i in range(n):
             th = 2 * np.pi * i / n
@@ -159,17 +200,31 @@ class RegEvaluator:
             c2w = np.eye(4)
             c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, -fwd, eye
             poses.append(c2w)
-        poses = np.stack(poses)
+        return np.stack(poses)
+
+    def _render_videos(self, scene_dir, item, pose_est, pose_gt) -> None:
+        """Fused-scene orbits: [src rgb|depth | tgt rgb|depth] side-by-side
+        frames + mp4 for gt/aligned (tgt cameras mapped by the pose) and
+        unaligned (identical cameras) — reference render_videos semantics."""
+        from dregnerf_tpu.render.novel_views import render_pair_views
+
+        src_ckpt = item.get("src_nerf_path", "")
+        tgt_ckpt = item.get("tgt_nerf_path", "")
+        ok = all(
+            p and os.path.exists(p) and p.endswith(".ckpt")
+            for p in (src_ckpt, tgt_ckpt)
+        )
+        if not ok:
+            return
+        poses = self._orbit_poses()
         for tag, transform in (
             ("gt", pose_gt), ("aligned", pose_est), ("unaligned", None)
         ):
-            frame_dir = os.path.join(scene_dir, f"frames_{tag}")
             try:
-                synthesize_novel_views(
-                    ckpt, poses, frame_dir, self.config.dataset or "objaverse",
-                    factor=8, transform=transform,
+                render_pair_views(
+                    src_ckpt, tgt_ckpt, poses, transform, scene_dir, tag,
+                    self.config.dataset or "objaverse", factor=8,
                 )
-                frames_to_video(frame_dir, os.path.join(scene_dir, f"{tag}.mp4"))
             except Exception as e:
                 print(f"[eval] video {tag} skipped: {e}")
                 break

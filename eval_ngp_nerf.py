@@ -101,9 +101,12 @@ class Evaluator:
             save_voxel_artifacts,
         )
 
+        from dregnerf_tpu.parallel.mesh import make_mesh_from_config
+
         extracted = extract_voxel_features(
             self.params, self.model_config, self.grid, self.meta, self.key,
             surface_chunk=min(self.config.test_chunk_size, 8192),
+            mesh=make_mesh_from_config(self.config),
         )
         save_voxel_artifacts(self.model_dir, extracted)
         n_surf = int((extracted["surface_mask"] & extracted["density_mask"]).sum())

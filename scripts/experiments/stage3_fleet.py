@@ -1,0 +1,256 @@
+"""Stage-3 end-to-end quality experiment (VERDICT round-1 item 7).
+
+Builds a synthetic multi-scene fleet hermetically, then runs the FULL
+DReg-NeRF pipeline at real (TPU) scale:
+
+  1. render N_SCENES random sphere-cluster scenes (fixtures.random_spheres);
+  2. train 2 NGP blocks per scene in randomized world frames (stage 1);
+  3. extract voxel_grid/voxel_mask/ply artifacts per block (stage 2);
+  4. train NeRFRegTr on the train-scene pairs (stage 3);
+  5. evaluate RRE/RTE on HELD-OUT scenes vs the native FGR baseline and
+     write experiments/stage3/{metrics_test.json, fgr_metrics_test.json}.
+
+Run on the TPU from the repo root:
+  PYTHONPATH=/root/.axon_site:/root/repo python scripts/experiments/stage3_fleet.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import jax
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dregnerf_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+import jax.numpy as jnp
+import numpy as np
+
+from dregnerf_tpu.datasets import fixtures
+from dregnerf_tpu.datasets.base import load_scene_blocks
+from dregnerf_tpu.datasets.register_pairs import NeRFRegDataset
+from dregnerf_tpu.models.ngp import NGPConfig, init_ngp
+from dregnerf_tpu.ops.packed_grid import PackedGridConfig
+from dregnerf_tpu.runtime.config import config_parser
+from dregnerf_tpu.runtime.ngp_trainer import NGPTrainer
+
+N_SCENES = 8
+N_TEST_SCENES = 2
+NGP_ITERS = 1000
+REG_ITERS = 2000
+WORK = os.environ.get("STAGE3_WORK", "/tmp/stage3_fleet")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "experiments", "stage3")
+
+NGP_MODEL = NGPConfig(grid=PackedGridConfig(n_levels=16, log2_table_size=15))
+
+
+def scene_names():
+    return [f"scene_{i:02d}" for i in range(N_SCENES)]
+
+
+def stage1_and_2():
+    data_root = os.path.join(WORK, "data")
+    out_root = os.path.join(WORK, "out")
+    reg_root = os.path.join(WORK, "regdata")
+    for s_idx, scene in enumerate(scene_names()):
+        scene_dir = os.path.join(data_root, scene)
+        if not os.path.exists(os.path.join(scene_dir, "transforms.json")):
+            fixtures.make_scene(
+                data_root, num_views=30, image_size=96, seed=s_idx,
+                name=scene, spheres=fixtures.random_spheres(100 + s_idx),
+            )
+        cfg = config_parser([
+            "--dataset", "objaverse", "--root_dir", data_root,
+            "--scene", scene, "--expname", scene, "--out_dir", out_root,
+            "--factor", "1", "--aabb=-1.0,-1.0,-1.0,1.0,1.0,1.0",
+            "--max_iterations", str(NGP_ITERS),
+            "--sample_budget", str(1 << 16), "--max_march_steps", "512",
+            "--grid_resolution", "64", "--init_num_rays", "1024",
+            "--max_num_rays", str(1 << 14),
+            "--n_tensorboard", "250", "--n_validation", "1000000",
+            "--n_checkpoint", str(NGP_ITERS),
+        ])
+        train_blocks = load_scene_blocks(
+            "objaverse", data_root, scene, "train", 1, True, 2)
+        test_blocks = load_scene_blocks(
+            "objaverse", data_root, scene, "test", 1, True, 2)
+
+        block_dirs = []
+        for k, (tr, te) in enumerate(zip(train_blocks, test_blocks)):
+            out_dir = os.path.join(out_root, scene, f"block_{k}")
+            block_dirs.append(out_dir)
+            done = os.path.join(out_dir, "voxel_grid.pt")
+            if os.path.exists(done):
+                print(f"[stage1/2] {scene} block_{k}: cached", flush=True)
+                continue
+            t0 = time.time()
+            trainer = NGPTrainer(cfg, tr, te, output_dir=out_dir)
+            trainer.model_config = NGP_MODEL
+            trainer.params = init_ngp(jax.random.PRNGKey(1000 * s_idx + k),
+                                      NGP_MODEL)
+            trainer.opt_state = trainer.optimizer.init(trainer.params)
+            trainer.state.params = trainer.params
+            trainer.state.opt_state = trainer.opt_state
+            trainer._step_fns = {}
+            trainer.__dict__.pop("_occ_update_fns", None)
+            trainer.train()
+            psnr = trainer.validate(step=NGP_ITERS)
+            print(f"[stage1] {scene} block_{k}: val PSNR {psnr:.2f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+            # stage 2: extract from the checkpoint
+            from dregnerf_tpu.extract.sample_grid import (
+                extract_voxel_features, save_voxel_artifacts)
+            from dregnerf_tpu.ops import occupancy as occ_mod
+            from dregnerf_tpu.runtime.checkpoint import (
+                load_checkpoint, _unflatten_into)
+
+            ckpt = os.path.join(out_dir, "model", "model.ckpt")
+            flat, meta = load_checkpoint(ckpt)
+            params = _unflatten_into(
+                init_ngp(jax.random.PRNGKey(0), NGP_MODEL), flat,
+                prefix="model::")
+            grid = occ_mod.OccupancyGrid(
+                occs=jnp.asarray(flat["occupancy::occs"]),
+                binary=jnp.asarray(flat["occupancy::binary"]),
+            )
+            ex = extract_voxel_features(
+                params, NGP_MODEL, grid, meta, jax.random.PRNGKey(7),
+                surface_chunk=8192,
+            )
+            save_voxel_artifacts(out_dir, ex)
+            n = int((ex["surface_mask"] & ex["density_mask"]).sum())
+            print(f"[stage2] {scene} block_{k}: {n} surface voxels", flush=True)
+
+        # arrange regdata layout
+        scene_models = os.path.join(reg_root, "nerf_models", scene)
+        img_meta = os.path.join(reg_root, "images", scene)
+        os.makedirs(img_meta, exist_ok=True)
+        shutil.copyfile(
+            os.path.join(data_root, scene, "world_frame_transforms.json"),
+            os.path.join(img_meta, "world_frame_transforms.json"))
+        for k, d in enumerate(block_dirs):
+            dst = os.path.join(scene_models, f"block_{k}")
+            os.makedirs(os.path.join(dst, "model"), exist_ok=True)
+            for src_rel, dst_rel in [
+                (os.path.join("model", "model.ckpt"),
+                 os.path.join("model", "model.ckpt")),
+                ("voxel_grid.pt", "voxel_grid.pt"),
+                ("voxel_mask.pt", "voxel_mask.pt"),
+                ("voxel_point_cloud.ply", "voxel_point_cloud.ply"),
+            ]:
+                shutil.copyfile(os.path.join(d, src_rel),
+                                os.path.join(dst, dst_rel))
+    return os.path.join(WORK, "regdata")
+
+
+def merged_dataset(reg_root, scenes, split, seed=0):
+    ds = None
+    for s in scenes:
+        one = NeRFRegDataset(reg_root, subject_id=s, split=split, seed=seed)
+        if ds is None:
+            ds = one
+        else:
+            ds.meta.extend(one.meta)
+    return ds
+
+
+def stage3(reg_root):
+    from dregnerf_tpu.runtime import reg_trainer as RT
+
+    names = scene_names()
+    train_scenes = names[: N_SCENES - N_TEST_SCENES]
+    test_scenes = names[N_SCENES - N_TEST_SCENES:]
+    train_ds = merged_dataset(reg_root, train_scenes, "train", seed=3)
+    val_ds = merged_dataset(reg_root, test_scenes, "test", seed=4)
+
+    epochs = max(1, REG_ITERS // len(train_ds))
+    cfg = config_parser([
+        "--dataset", "objaverse", "--root_dir", reg_root,
+        "--expname", "stage3", "--out_dir", os.path.join(WORK, "regout"),
+        "--aabb=-1.0,-1.0,-1.0,1.0,1.0,1.0", "--robust_loss",
+        "--epochs", str(epochs),
+        "--n_tensorboard", "100", "--n_validation", "500",
+        "--n_checkpoint", "1000", "--lr", "1e-4",
+    ])
+    trainer = RT.RegTrainer(cfg, train_ds, val_ds)
+    trainer.train()
+    return trainer, val_ds, test_scenes
+
+
+def evaluate(trainer, val_ds, test_scenes):
+    """Held-out RRE/RTE: RegTr vs native FGR, per scene + aggregate."""
+    from dregnerf_tpu.geometry import se3
+    from dregnerf_tpu.io.ply import read_ply
+    from dregnerf_tpu.registration.fgr import run_registration
+
+    os.makedirs(OUT, exist_ok=True)
+    reg_rows, fgr_rows = [], []
+    for i in range(len(val_ds)):
+        for draw in range(3):  # several block orderings per scene
+            val_ds.rng = np.random.default_rng(1000 * i + draw)
+            item = val_ds[i]
+            batch = trainer._to_device(item)
+            t0 = time.time()
+            pose, rre, rte = trainer._eval_fn(trainer.params, batch)
+            dt_reg = time.time() - t0
+            reg_rows.append({
+                "scene": item["scene"], "draw": draw,
+                "RRE": float(rre), "RTE": float(rte), "time_s": dt_reg,
+            })
+
+            src_pts, _ = read_ply(item["src_ply_path"])
+            tgt_pts, _ = read_ply(item["tgt_ply_path"])
+            T, dt_fgr = run_registration(src_pts, tgt_pts)
+            if T is not None:
+                rre_f, rte_f = se3.pose_error(
+                    jnp.asarray(T[:3, :4], jnp.float32),
+                    jnp.asarray(item["pose"][:3, :4], jnp.float32))
+                fgr_rows.append({
+                    "scene": item["scene"], "draw": draw,
+                    "RRE": float(rre_f), "RTE": float(rte_f),
+                    "time_s": dt_fgr,
+                })
+            else:  # native lib unavailable or degenerate clouds
+                fgr_rows.append({
+                    "scene": item["scene"], "draw": draw,
+                    "RRE": 180.0, "RTE": 10.0, "error": "fgr failed",
+                    "time_s": dt_fgr,
+                })
+
+    def agg(rows):
+        r = np.array([x["RRE"] for x in rows])
+        t = np.array([x["RTE"] for x in rows])
+        return {
+            "R_mean": float(r.mean()), "R_med": float(np.median(r)),
+            "t_mean": float(t.mean()), "t_med": float(np.median(t)),
+            "pairs": rows,
+        }
+
+    reg = {"test_scenes": test_scenes, "iters": REG_ITERS, **agg(reg_rows)}
+    fgr = {"test_scenes": test_scenes, **agg(fgr_rows)}
+    with open(os.path.join(OUT, "metrics_test.json"), "w") as f:
+        json.dump(reg, f, indent=2)
+    with open(os.path.join(OUT, "fgr_metrics_test.json"), "w") as f:
+        json.dump(fgr, f, indent=2)
+    print(json.dumps({"regtr": {k: reg[k] for k in
+                                ("R_mean", "R_med", "t_mean", "t_med")},
+                      "fgr": {k: fgr[k] for k in
+                              ("R_mean", "R_med", "t_mean", "t_med")}}),
+          flush=True)
+
+
+def main():
+    reg_root = stage1_and_2()
+    trainer, val_ds, test_scenes = stage3(reg_root)
+    evaluate(trainer, val_ds, test_scenes)
+
+
+if __name__ == "__main__":
+    main()

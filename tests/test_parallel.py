@@ -61,8 +61,8 @@ def test_dp_matches_single_device_grads_shape():
 
     with mesh:
         step = make_dp_train_step(mesh, opt, cfg, rcfg, aabb, (H, W))
-        p1, _, m1 = step(params, opt_state, grid, images, c2ws, K, key)
-        p2, _, m2 = step(params, opt_state, grid, images, c2ws, K, key)
+        p1, _, m1 = step(params, opt_state, grid, None, images, c2ws, K, key)
+        p2, _, m2 = step(params, opt_state, grid, None, images, c2ws, K, key)
     np.testing.assert_allclose(
         np.asarray(p1["table"]), np.asarray(p2["table"]), atol=0
     )
@@ -174,3 +174,106 @@ def test_cross_encoder_sp_switch_matches_local(key):
                           tgt_pos)
     for a, b in zip(out_local, out_sp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_surface_mask_mesh_matches_single(key):
+    """compute_surface_mask(mesh=...) == single-device result (the
+    extraction path --mesh_shape routes through, VERDICT round-1 item 5)."""
+    import numpy as np
+
+    from dregnerf_tpu.extract.sample_grid import compute_surface_mask
+    from dregnerf_tpu.models import ngp
+    from dregnerf_tpu.ops import occupancy
+    from dregnerf_tpu.ops.packed_grid import PackedGridConfig
+    from dregnerf_tpu.parallel.mesh import make_mesh
+    from dregnerf_tpu.render.renderer import RenderConfig
+
+    mesh = make_mesh(4, ("data",))
+    cfg = ngp.NGPConfig(
+        grid=PackedGridConfig(n_levels=2, log2_table_size=8),
+        compute_dtype=jnp.float32,
+    )
+    params = ngp.init_ngp(key, cfg)
+    aabb = jnp.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+    grid = occupancy.init_grid(8)._replace(binary=jnp.ones((8,) * 3, bool))
+    rcfg = RenderConfig(render_step_size=0.05, max_steps=64)
+
+    pts = np.asarray(jax.random.uniform(key, (100, 3), minval=-0.8, maxval=0.8))
+    cams = np.eye(4, dtype=np.float32)[None].repeat(2, 0)
+    cams[0, :3, 3] = [0, 0, 3.0]
+    cams[1, :3, 3] = [3.0, 0, 0]
+
+    m_single = compute_surface_mask(
+        params, cfg, grid, aabb, rcfg, pts, cams, chunk=64, buffer_size=1 << 13
+    )
+    with mesh:
+        m_mesh = compute_surface_mask(
+            params, cfg, grid, aabb, rcfg, pts, cams, chunk=64,
+            buffer_size=1 << 13, mesh=mesh,
+        )
+    np.testing.assert_array_equal(m_single, m_mesh)
+
+
+def test_reg_trainer_mesh_dp_step(tmp_path, key):
+    """RegTrainer with a mesh runs the DP step end-to-end (pairs sharded
+    one per device) and returns finite reduced losses."""
+    import os
+
+    import numpy as np
+
+    from dregnerf_tpu.losses import registration as L
+    from dregnerf_tpu.models.regtr import NeRFRegTr
+    from dregnerf_tpu.parallel.mesh import make_mesh
+    from dregnerf_tpu.runtime import reg_trainer as RT
+    from dregnerf_tpu.runtime.checkpoint import CheckpointManager
+    from dregnerf_tpu.runtime.config import config_parser
+
+    rng = np.random.default_rng(0)
+    r = 8
+
+    def make_pair():
+        def gm():
+            grid = np.zeros((r, r, r, 7), np.float32)
+            mask = np.zeros(r**3, bool)
+            flat = rng.choice(r**3, 30, replace=False)
+            grid.reshape(-1, 7)[flat, :3] = rng.uniform(-1, 1, (30, 3))
+            grid.reshape(-1, 7)[flat, 6] = 1.0
+            mask[flat] = True
+            return grid, mask
+
+        sg, sm = gm()
+        tg, tm = gm()
+        return {"src_grid": sg, "tgt_grid": tg, "src_mask": sm,
+                "tgt_mask": tm, "pose": np.eye(4, dtype=np.float32)}
+
+    cfg = config_parser([
+        "--dataset", "objaverse", "--root_dir", str(tmp_path),
+        "--expname", "dp", "--out_dir", str(tmp_path), "--no_bf16",
+        "--compilation_cache", "", "--robust_loss",
+    ])
+    tr = RT.RegTrainer.__new__(RT.RegTrainer)
+    tr.config = cfg
+    tr.output_dir = str(tmp_path / "dp")
+    os.makedirs(tr.output_dir, exist_ok=True)
+    tr.ckpt_manager = CheckpointManager(os.path.join(tr.output_dir, "model"))
+    tr.aabb = jnp.asarray(cfg.aabb, jnp.float32)
+    tr.model = NeRFRegTr(
+        backbone="resnet18", d_model=32, num_layers=1, num_heads=2,
+        dim_feedforward=64, max_input_points=64, num_tokens=32,
+        max_points=16, num_downsample=2, dtype=jnp.float32,
+    )
+    items = [make_pair() for _ in range(4)]
+    sample = {k: jnp.asarray(v) for k, v in items[0].items()}
+    tr.grid_resolution = r
+    tr.params = {
+        "model": tr.model.init(key, sample)["params"],
+        "infonce_W": L.init_infonce_W(key, 32),
+    }
+    tr.setup_optimizer()
+    tr.iteration = 0
+    tr.mesh = make_mesh(4, ("data",))
+    tr._step_fn = tr._make_step_fn()
+    with tr.mesh:
+        metrics = tr.train_iteration_batch(items)
+    assert np.isfinite(float(metrics["total"]))
+    assert np.isfinite(float(metrics["R_error"]))

@@ -565,3 +565,66 @@ class TestExactVisibilityTraining:
         # second step reuses the compiled fn and cache
         m2 = tr.train_iteration(ds[0])
         assert np.isfinite(float(m2["total"]))
+
+
+def test_reg_evaluator_artifacts(pair_root, tmp_path):
+    """RegEvaluator writes the reference's artifact set: metrics JSONs,
+    transformation_est.json, pose .pts, aligned/unaligned clouds AND the
+    keypoint + overlap-filtered clouds (reference eval_nerf_regtr.py:371-438)."""
+    import importlib
+    import sys
+
+    root, scene, _ = pair_root
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    ev_mod = importlib.import_module("eval_nerf_regtr")
+
+    from dregnerf_tpu.datasets.register_pairs import NeRFRegDataset
+    from dregnerf_tpu.runtime.config import config_parser
+
+    cfg = config_parser([
+        "--dataset", "objaverse", "--root_dir", root, "--expname", "regev",
+        "--out_dir", str(tmp_path), "--no_bf16", "--compilation_cache", "",
+        "--position_embedding_dim", "64", "--num_downsample", "3",
+    ])
+    ds = NeRFRegDataset(root, subject_id=scene, split="test", seed=2)
+    # shrink the model for CPU
+    import jax.numpy as jnp
+
+    from dregnerf_tpu.models.regtr import NeRFRegTr
+
+    ev = ev_mod.RegEvaluator.__new__(ev_mod.RegEvaluator)
+    ev.config = cfg
+    ev.dataset = ds
+    ev.output_dir = str(tmp_path / "eval")
+    os.makedirs(ev.output_dir, exist_ok=True)
+    ev.model = NeRFRegTr(
+        backbone="resnet18", d_model=64, num_layers=2, num_heads=4,
+        dim_feedforward=128, max_input_points=512, num_tokens=128,
+        max_points=100, num_downsample=3, dtype=jnp.float32,
+    )
+    import jax
+
+    from dregnerf_tpu.losses.registration import init_infonce_W
+    from dregnerf_tpu.runtime.reg_trainer import RegTrainer
+
+    key = jax.random.PRNGKey(0)
+    sample = RegTrainer._to_device(ds[0])
+    ev.params = {
+        "model": ev.model.init(key, sample)["params"],
+        "infonce_W": init_infonce_W(key, 64),
+    }
+    ev._forward = jax.jit(
+        lambda p, b: ev.model.apply({"params": p["model"]}, b))
+    metrics = ev.evaluate()
+    assert "aggregate" in metrics and metrics["aggregate"]["num_pairs"] == 1
+    scene_dir = os.path.join(ev.output_dir, scene)
+    for f in (
+        "transformation_est.json", "pose_est.pt", "pose_gt.pt",
+        "src_unaligned.ply", "src_aligned.ply", "tgt.ply",
+        "src_xyz.ply", "tgt_xyz.ply", "src_kp_warped.ply", "tgt_kp_warped.ply",
+        "all_src_xyz.ply", "all_tgt_xyz.ply",
+        "noisy_point_cloud_pred.ply", "point_cloud_pred.ply",
+        "noisy_point_cloud_gt.ply", "point_cloud_gt.ply",
+    ):
+        assert os.path.exists(os.path.join(scene_dir, f)), f
+    assert os.path.exists(os.path.join(ev.output_dir, "metrics_test.json"))
