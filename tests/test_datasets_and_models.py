@@ -347,3 +347,91 @@ class TestDatasetDispatch:
             cfg.dataset, cfg.root_dir, cfg.scene, "train", cfg.factor
         )
         assert blocks and blocks[0].num_images > 0
+
+
+class TestColmapWritePath:
+    """pycolmap write-path parity: binary writers round-trip through the
+    binary readers; the COLMAP-schema database round-trips features/matches
+    (reference conerf/pycolmap/pycolmap/{scene_manager,database}.py)."""
+
+    def _model(self, rng):
+        from dregnerf_tpu.utils import colmap as C
+
+        cams = {
+            1: C.Camera("PINHOLE", 640, 480,
+                        np.array([500.0, 510.0, 320.0, 240.0])),
+            2: C.Camera("SIMPLE_RADIAL", 800, 600,
+                        np.array([450.0, 400.0, 300.0, 0.01])),
+        }
+        imgs = {}
+        for i in range(1, 4):
+            q = rng.normal(size=4)
+            q /= np.linalg.norm(q)
+            imgs[i] = C.Image(q, rng.normal(size=3), 1 + (i % 2),
+                              f"frame_{i:03d}.png")
+        pts = rng.normal(size=(50, 3))
+        cols = rng.integers(0, 255, (50, 3)).astype(np.uint8)
+        return C.SparseModel(cams, imgs, pts, cols)
+
+    def test_binary_roundtrip(self, tmp_path, rng):
+        from dregnerf_tpu.utils import colmap as C
+
+        model = self._model(rng)
+        C.write_model(str(tmp_path), model, binary=True)
+        back = C.read_model(str(tmp_path))
+        assert set(back.cameras) == {1, 2}
+        for cid in (1, 2):
+            assert back.cameras[cid].model == model.cameras[cid].model
+            np.testing.assert_allclose(back.cameras[cid].params,
+                                       model.cameras[cid].params)
+        for iid, im in model.images.items():
+            np.testing.assert_allclose(back.images[iid].qvec, im.qvec)
+            np.testing.assert_allclose(back.images[iid].tvec, im.tvec)
+            assert back.images[iid].name == im.name
+            assert back.images[iid].camera_id == im.camera_id
+        np.testing.assert_allclose(back.points, model.points)
+        np.testing.assert_array_equal(back.point_colors, model.point_colors)
+
+    def test_images_bin_with_tracks(self, tmp_path, rng):
+        from dregnerf_tpu.utils import colmap as C
+
+        model = self._model(rng)
+        xys = {i: rng.uniform(0, 640, (10, 2)) for i in model.images}
+        pids = {i: rng.integers(-1, 50, 10) for i in model.images}
+        path = str(tmp_path / "images.bin")
+        C.write_images_bin(path, model.images, xys, pids)
+        back = C.read_images_bin(path)
+        assert set(back) == set(model.images)
+
+    def test_database_roundtrip(self, tmp_path, rng):
+        from dregnerf_tpu.utils import colmap as C
+
+        with C.COLMAPDatabase(str(tmp_path / "db.db")) as db:
+            cid = db.add_camera("PINHOLE", 640, 480,
+                                np.array([500.0, 510.0, 320.0, 240.0]))
+            i1 = db.add_image("a.png", cid, prior_q=np.array([1.0, 0, 0, 0]))
+            i2 = db.add_image("b.png", cid)
+            kp1 = rng.uniform(0, 640, (20, 2)).astype(np.float32)
+            kp2 = rng.uniform(0, 640, (25, 2)).astype(np.float32)
+            db.add_keypoints(i1, kp1)
+            db.add_keypoints(i2, kp2)
+            db.add_descriptors(i1, rng.integers(0, 255, (20, 128)))
+            matches = np.stack([np.arange(10), np.arange(10) + 5], 1)
+            db.add_matches(i1, i2, matches)
+            db.add_matches(2 * 10**6, 3, matches)  # canonical-order flip
+            db.add_two_view_geometry(i1, i2, matches)
+
+            np.testing.assert_allclose(db.read_keypoints(i1), kp1)
+            np.testing.assert_array_equal(db.read_matches(i1, i2), matches)
+            np.testing.assert_array_equal(
+                db.read_matches(2 * 10**6, 3), matches)
+            cams = db.read_cameras()
+            assert cams[cid].model == "PINHOLE"
+
+    def test_pair_id_bijection(self):
+        from dregnerf_tpu.utils import colmap as C
+
+        for a, b in [(1, 2), (7, 7), (123456, 3), (3, 2147483646)]:
+            pid = C.image_ids_to_pair_id(a, b)
+            lo, hi = min(a, b), max(a, b)
+            assert C.pair_id_to_image_ids(pid) == (lo, hi)
