@@ -55,6 +55,10 @@ def config_parser(argv=None) -> argparse.Namespace:
 
     # multi blocks
     parser.add_argument("--multi_blocks", action="store_true")
+    parser.add_argument("--fleet", action="store_true",
+                        help="train all blocks concurrently, one per mesh "
+                        "device (stage-1 fleet; implies fixed "
+                        "--init_num_rays ray batches)")
     parser.add_argument("--num_blocks", type=int, default=3)
     parser.add_argument("--min_num_blocks", type=int, default=2)
     parser.add_argument("--max_num_blocks", type=int, default=4)

@@ -189,3 +189,58 @@ def test_mesh_shape_dp_trainer_e2e(fixture_root, tmp_path):
     assert psnr > 14.0, f"DP PSNR after 120 steps too low: {psnr}"
     # params replicated-consistent: a second validate sees the same state
     assert np.isfinite(psnr)
+
+
+def test_fleet_cli_trains_blocks(fixture_root, tmp_path, monkeypatch):
+    """--multi_blocks --fleet trains both blocks concurrently end-to-end
+    (one per virtual device) and writes per-block self-describing ckpts."""
+    import sys
+
+    import train_ngp_nerf as cli
+
+    out = str(tmp_path)
+    argv = [
+        "train_ngp_nerf.py",
+        "--dataset", "objaverse", "--root_dir", fixture_root,
+        "--scene", "fixture_scene", "--expname", "fleet", "--out_dir", out,
+        "--factor", "1", "--aabb=-1.0,-1.0,-1.0,1.0,1.0,1.0",
+        "--max_iterations", "48", "--sample_budget", str(1 << 12),
+        "--max_march_steps", "64", "--grid_resolution", "16",
+        "--init_num_rays", "256", "--n_tensorboard", "16",
+        "--n_validation", "1000000", "--n_checkpoint", "1000000",
+        "--no_bf16", "--compilation_cache", "",
+        "--multi_blocks", "--min_num_blocks", "2", "--max_num_blocks", "2",
+        "--fleet",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    # shrink the default model: patch NGPConfig used by the trainers
+    from dregnerf_tpu.models.ngp import NGPConfig
+    from dregnerf_tpu.ops.hash_encoding import HashGridConfig
+    from dregnerf_tpu.runtime import ngp_trainer as NT
+
+    import jax.numpy as jnp
+
+    small = NGPConfig(grid=HashGridConfig(n_levels=2, log2_table_size=8),
+                      compute_dtype=jnp.float32)
+    orig_build = NT.NGPTrainer.build_networks
+
+    def small_build(self):
+        orig_build(self)
+        from dregnerf_tpu.models.ngp import init_ngp
+        import jax as _jax
+
+        self.model_config = small
+        self.params = init_ngp(_jax.random.PRNGKey(0), small)
+        # setup_optimizer() runs after build_networks and inits opt_state
+        # from self.params, so the shrunk params flow through naturally
+
+    monkeypatch.setattr(NT.NGPTrainer, "build_networks", small_build)
+    cli.main()
+    for k in (0, 1):
+        ckpt = os.path.join(out, "fleet", f"block_{k}", "model", "model.ckpt")
+        assert os.path.exists(ckpt), ckpt
+        from dregnerf_tpu.runtime.checkpoint import load_checkpoint
+
+        flat, meta = load_checkpoint(ckpt)
+        assert meta["block_id"] == k
+        assert np.isfinite(flat["model::table"]).all()

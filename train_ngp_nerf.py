@@ -34,6 +34,18 @@ def train(config) -> None:
             config.dataset, config.root_dir, config.scene, "test",
             config.factor, True, num_blocks,
         )
+        if getattr(config, "fleet", False):
+            # one sharded program trains ALL blocks concurrently, one block
+            # per device (runtime/fleet_trainer.py; zero collectives)
+            from dregnerf_tpu.runtime.fleet_trainer import FleetNGPTrainer
+
+            out_dirs = [
+                os.path.join(config.out_dir, config.expname, f"block_{k}")
+                for k in range(len(train_blocks))
+            ]
+            print(f"=== fleet-training {len(train_blocks)} blocks ===")
+            FleetNGPTrainer(config, train_blocks, test_blocks, out_dirs).train()
+            return
         for k, (train_scene, test_scene) in enumerate(zip(train_blocks, test_blocks)):
             out_dir = os.path.join(config.out_dir, config.expname, f"block_{k}")
             print(f"=== training block {k}: {train_scene.num_images} images ===")
