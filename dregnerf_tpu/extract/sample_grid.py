@@ -100,13 +100,16 @@ def make_surface_chunk_fn(
     buffer_size: int,
 ):
     """Jitted: (origins, viewdirs, t_max)[chunk] -> per-ray surface field S."""
+    from dregnerf_tpu.ops.occupancy import pack_regions
+
+    regions = pack_regions(grid.binary)  # once per fn, not per chunk call
 
     @jax.jit
     def fn(origins, viewdirs, t_max):
         packed = march_rays(
             origins, viewdirs, grid, aabb, rcfg.contraction,
             rcfg.render_step_size, buffer_size, rcfg.max_steps,
-            rcfg.near_plane, rcfg.far_plane, t_max=t_max,
+            rcfg.near_plane, rcfg.far_plane, t_max=t_max, regions=regions,
         )
         from dregnerf_tpu.ops.ray_march import sample_positions
 

@@ -91,6 +91,9 @@ def exact_visibility(
     Jittable: the camera loop is a fori_loop over a static C.
     """
     m = points.shape[0]
+    from dregnerf_tpu.ops.occupancy import pack_regions
+
+    regions = pack_regions(grid.binary)  # once, not per camera iteration
 
     def body(c, smax):
         o = jnp.broadcast_to(cam_origins[c][None], (m, 3))
@@ -100,7 +103,7 @@ def exact_visibility(
         packed = march_rays(
             o, viewdirs, grid, aabb, rcfg.contraction, rcfg.render_step_size,
             buffer_size, rcfg.max_steps, rcfg.near_plane, rcfg.far_plane,
-            t_max=t_max,
+            t_max=t_max, regions=regions,
         )
         pos, _ = sample_positions(packed, o, viewdirs)
         sigma = ngp.query_density(params, pos, aabb, model_cfg).reshape(-1)

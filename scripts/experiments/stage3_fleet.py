@@ -47,7 +47,7 @@ WORK = os.environ.get("STAGE3_WORK", "/tmp/stage3_fleet")
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "experiments", "stage3")
 
-NGP_MODEL = NGPConfig(grid=PackedGridConfig(n_levels=16, log2_table_size=15))
+NGP_MODEL = NGPConfig(grid=PackedGridConfig(log2_table_size=15))
 
 
 def scene_names():

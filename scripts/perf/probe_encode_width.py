@@ -63,7 +63,8 @@ def main():
     # encoder variants at constant capacity L*F = 32
     u = jax.random.uniform(jax.random.PRNGKey(4), (BUF, 3))
     variants = [
-        ("L16_F2", PackedGridConfig(n_levels=16, n_features=2)),
+        ("L16_F2", PackedGridConfig(n_levels=16, n_features=2,
+                                    per_level_scale=1.4472692012786865)),
         ("L8_F4", PackedGridConfig(n_levels=8, n_features=4,
                                    per_level_scale=2.1)),
         ("L6_F6", PackedGridConfig(n_levels=6, n_features=6,

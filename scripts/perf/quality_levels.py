@@ -29,7 +29,8 @@ from dregnerf_tpu.runtime.ngp_trainer import NGPTrainer
 STEPS = 1500
 
 VARIANTS = {
-    "L16_F2": PackedGridConfig(n_levels=16, n_features=2),
+    "L16_F2": PackedGridConfig(n_levels=16, n_features=2,
+               per_level_scale=1.4472692012786865),
     "L8_F4": PackedGridConfig(n_levels=8, n_features=4, per_level_scale=2.1),
     "L4_F8": PackedGridConfig(n_levels=4, n_features=8, per_level_scale=5.66),
 }

@@ -446,3 +446,42 @@ class TestRowMarch:
         np.testing.assert_allclose(
             np.asarray(out_r.depth), np.asarray(out_p.depth), atol=1e-5
         )
+
+
+def test_render_rows_with_times_dnerf(key):
+    """rows path + per-ray timestamps (D-NeRF fields) runs and matches the
+    quota path on an all-occupied grid."""
+    import dataclasses
+
+    import numpy as np
+
+    from dregnerf_tpu.models import fields
+    from dregnerf_tpu.models.mlp_nerf import VanillaNeRFConfig
+    from dregnerf_tpu.ops import occupancy
+    from dregnerf_tpu.render.renderer import RenderConfig, render_rays
+
+    cfg = VanillaNeRFConfig(
+        warp=True, net_depth=1, net_width=16, posenc_xyz=2, posenc_dir=2,
+        posenc_time=2, compute_dtype=jnp.float32,
+    )
+    field = fields.get_field("dnerf")
+    params = field.init(key, cfg)
+    grid = occupancy.init_grid(8)._replace(binary=jnp.ones((8,) * 3, bool))
+    aabb = jnp.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+    n = 32
+    k1, _ = jax.random.split(key)
+    origins = jax.random.uniform(k1, (n, 3), minval=-3.0, maxval=-2.5)
+    viewdirs = -origins / jnp.linalg.norm(origins, axis=-1, keepdims=True)
+    times = jnp.linspace(0, 1, n)
+    rcfg = RenderConfig(render_step_size=0.05, buffer_size=n * 32,
+                        max_steps=64, march_compaction="rows")
+    out_r, aux_r = render_rays(params, cfg, grid, origins, viewdirs, aabb,
+                               rcfg, background=jnp.ones(3), field=field,
+                               times=times)
+    out_q, aux_q = render_rays(params, cfg, grid, origins, viewdirs, aabb,
+                               dataclasses.replace(rcfg, march_compaction="quota"),
+                               background=jnp.ones(3), field=field,
+                               times=times)
+    assert int(aux_r["n_samples"]) == int(aux_q["n_samples"])
+    np.testing.assert_allclose(np.asarray(out_r.rgb), np.asarray(out_q.rgb),
+                               atol=2e-5)
