@@ -65,6 +65,12 @@ class PackedGridConfig:
     log2_table_size: int = 19
     base_resolution: int = 16
     per_level_scale: float = 2.1
+    # table-gradient scatter-add accumulator dtype: "f32" (exact) or
+    # "bf16" (2.9x faster scatter on v5e — 7.1 vs 20.8 ms per wrapped
+    # level, probe_train_bwd.py; tcnn accumulates its hash-table grads in
+    # fp16, so reduced-precision accumulation is the reference's own
+    # design). Quality-gated before becoming default.
+    grad_accum: str = "f32"
 
     @property
     def out_dim(self) -> int:
@@ -126,6 +132,26 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     policy can be revisited for incoherent workloads.
     """
     return table[idx]
+
+
+@jax.custom_vjp
+def gather_rows_bf16_accum(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """gather_rows with a bf16 scatter-add backward (2.9x faster on v5e;
+    tcnn-style reduced-precision table-gradient accumulation)."""
+    return table[idx]
+
+
+def _grb_fwd(table, idx):
+    return table[idx], (idx, table.shape)
+
+
+def _grb_bwd(res, g):
+    idx, shape = res
+    acc = jnp.zeros(shape, jnp.bfloat16).at[idx].add(g.astype(jnp.bfloat16))
+    return acc.astype(jnp.float32), None
+
+
+gather_rows_bf16_accum.defvjp(_grb_fwd, _grb_bwd)
 
 
 def pack_table(table: jnp.ndarray, config: PackedGridConfig) -> tuple:
@@ -196,11 +222,14 @@ def packed_encode(
         axis=-1,
     )  # [N, L, 8]
 
+    gather = (
+        gather_rows_bf16_accum if config.grad_accum == "bf16" else gather_rows
+    )
     outs = []
     for l in range(L):
         slot = (lin[:, l] & t_pow2) if wrapped[l] else lin[:, l]
-        # one gather per (point, level); sorted-scatter backward
-        rows = gather_rows(packed[l], slot.astype(jnp.int32))
+        # one gather per (point, level)
+        rows = gather(packed[l], slot.astype(jnp.int32))
         rows = rows.reshape(n, 8, F)
         outs.append(jnp.einsum("nc,ncf->nf", w[:, l], rows))
     out = jnp.stack(outs, axis=1)  # [N, L, F]

@@ -231,13 +231,69 @@ def march_rays(
     else:
         jitter = jnp.zeros((num_rays, 1))
 
+    # capped mode takes the wide-group region lookup (half the gathers;
+    # out-of-margin cells read conservatively occupied — same rule the rows
+    # renderer uses); compact/quota keep the tight span for exact-grid
+    # parity with round-1 numerics.
+    span = 3.5 if compaction == "capped" else 1.5
     mask, t_lo = _candidate_mask(
         origins, viewdirs, grid, aabb, contraction, render_step_size,
-        max_steps, near_plane, far_plane, t_max, jitter, 1.5, regions,
+        max_steps, near_plane, far_plane, t_max, jitter, span, regions,
     )
     t0 = t_lo[:, None] + (
         jnp.arange(max_steps, dtype=jnp.float32)[None, :] + jitter
     ) * render_step_size
+
+    if compaction == "capped":
+        # --- capped-global compaction: budget semantics without the global
+        # searchsorted. Per-row lax.top_k picks each ray's first K_cap
+        # survivors (measured 7.7x faster than rank search), rows then pack
+        # back-to-back at offsets = exclusive-cumsum of per-row counts —
+        # the flat buffer is ray-major/depth-ordered exactly like
+        # "compact", every ray keeps its full list up to K_cap, and the
+        # total is cut at the buffer like before. Deviation from "compact":
+        # rays with > K_cap survivors truncate at K_cap instead of pushing
+        # later rays out of the buffer (a better-distributed cut; gated on
+        # training quality, scripts/perf/quality_train_marching.py).
+        k_cap = min(256, max_steps, buffer_size)
+        big = jnp.int32(1 << 30)
+        keys = jnp.where(
+            mask, -jnp.arange(max_steps, dtype=jnp.int32)[None, :], -big
+        )
+        vals, _ = jax.lax.top_k(keys, k_cap)  # steps ascending per row
+        valid_rk = vals > -big
+        steps_rk = jnp.where(valid_rk, -vals, 0)  # [R, K_cap]
+        cnt = jnp.sum(valid_rk.astype(jnp.int32), axis=1)  # [R]
+        offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt).astype(jnp.int32)]
+        )  # [R+1]
+        total = offsets[-1]
+        ranks = jnp.arange(buffer_size, dtype=jnp.int32)
+        # row of flat slot i: binary search over the SMALL [R+1] offsets
+        # array (cache-resident) instead of the [R*S] candidate cumsum
+        row = (
+            jnp.searchsorted(offsets, ranks, side="right").astype(jnp.int32)
+            - 1
+        )
+        valid = ranks < jnp.minimum(total, buffer_size)
+        row_safe = jnp.clip(row, 0, num_rays - 1)
+        k = jnp.clip(ranks - offsets[row_safe], 0, k_cap - 1)
+        step_idx = steps_rk[row_safe, k].astype(jnp.float32)
+        ts0 = jnp.where(
+            valid,
+            t_lo[row_safe]
+            + (step_idx + jitter[row_safe, 0]) * render_step_size,
+            0.0,
+        )
+        ray_id = jnp.where(valid, row_safe, num_rays)
+        return PackedSamples(
+            ray_id=ray_id,
+            t_start=ts0,
+            t_end=ts0 + render_step_size,
+            valid=valid,
+            num_samples=jnp.minimum(total, buffer_size),
+            num_rays=num_rays,
+        )
 
     if compaction == "quota":
         # --- per-ray quota: NO global compaction --------------------------

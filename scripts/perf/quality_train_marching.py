@@ -36,7 +36,16 @@ def main():
     train_scene = load_scene_blocks("objaverse", root, "fixture_scene", "train")[0]
     test_scene = load_scene_blocks("objaverse", root, "fixture_scene", "test")[0]
 
-    for name, mode in [("compact", "compact"), ("rows", "rows")]:
+    import os
+
+    variants = [("compact", "compact", "f32"), ("rows", "rows", "f32"),
+                ("capped", "capped", "f32"),
+                ("capped_bf16grad", "capped", "bf16")]
+    only = os.environ.get("QTM_VARIANTS", "")
+    if only:
+        sel = set(only.split(","))
+        variants = [v for v in variants if v[0] in sel]
+    for name, mode, accum in variants:
         out = tempfile.mkdtemp(prefix=f"qtm_{name}_")
         cfg = config_parser([
             "--dataset", "objaverse", "--root_dir", root,
@@ -56,6 +65,21 @@ def main():
         trainer.render_config = dataclasses.replace(
             trainer.render_config, march_compaction=mode
         )
+        if accum != "f32":
+            from dregnerf_tpu.models.ngp import NGPConfig, init_ngp
+            from dregnerf_tpu.ops.packed_grid import PackedGridConfig
+
+            trainer.model_config = NGPConfig(
+                grid=PackedGridConfig(grad_accum=accum)
+            )
+            # param VALUES unchanged (same init key/config geometry)
+            trainer.params = init_ngp(jax.random.PRNGKey(cfg.seed),
+                                      trainer.model_config)
+            trainer.opt_state = trainer.optimizer.init(trainer.params)
+            trainer.state.params = trainer.params
+            trainer.state.opt_state = trainer.opt_state
+            trainer._step_fns = {}
+            trainer.__dict__.pop("_occ_update_fns", None)
         t0 = time.time()
         trainer.train()
         train_s = time.time() - t0

@@ -485,3 +485,110 @@ def test_render_rows_with_times_dnerf(key):
     assert int(aux_r["n_samples"]) == int(aux_q["n_samples"])
     np.testing.assert_allclose(np.asarray(out_r.rgb), np.asarray(out_q.rgb),
                                atol=2e-5)
+
+
+class TestCappedCompaction:
+    """compaction='capped': budget semantics via per-row top_k + row
+    offsets (no global candidate searchsorted)."""
+
+    def _scene(self, key, n=48, occ=2.0, res=16):
+        from dregnerf_tpu.ops import occupancy
+
+        binary = jax.random.uniform(key, (res, res, res)) < occ
+        grid = occupancy.init_grid(res)._replace(binary=binary)
+        aabb = jnp.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+        k1, _ = jax.random.split(key)
+        o = jax.random.uniform(k1, (n, 3), minval=-3.0, maxval=-2.5)
+        d = -o / jnp.linalg.norm(o, axis=-1, keepdims=True)
+        return grid, aabb, o, d
+
+    def test_capped_equals_compact_when_unconstrained(self, key):
+        """All-occupied grid (span-independent mask), max_steps <= K_cap,
+        big buffer: capped == compact bit-for-bit (same flat layout)."""
+        import numpy as np
+
+        from dregnerf_tpu.ops.ray_march import march_rays
+
+        grid, aabb, o, d = self._scene(key)
+        kw = dict(contraction="aabb", render_step_size=0.05,
+                  buffer_size=1 << 13, max_steps=64)
+        a = march_rays(o, d, grid, aabb, kw["contraction"],
+                       kw["render_step_size"], kw["buffer_size"],
+                       kw["max_steps"], compaction="capped")
+        b = march_rays(o, d, grid, aabb, kw["contraction"],
+                       kw["render_step_size"], kw["buffer_size"],
+                       kw["max_steps"], compaction="compact")
+        assert int(a.num_samples) == int(b.num_samples)
+        np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+        np.testing.assert_array_equal(np.asarray(a.ray_id), np.asarray(b.ray_id))
+        np.testing.assert_allclose(
+            np.asarray(a.t_start), np.asarray(b.t_start), atol=1e-6)
+
+    def test_capped_buffer_cut(self, key):
+        import numpy as np
+
+        from dregnerf_tpu.ops.ray_march import march_rays
+
+        grid, aabb, o, d = self._scene(key)
+        p = march_rays(o, d, grid, aabb, "aabb", 0.05, 256, 64,
+                       compaction="capped")
+        assert int(p.num_samples) == 256
+        assert int(np.asarray(p.valid).sum()) == 256
+        # ray-major ordering preserved
+        rid = np.asarray(p.ray_id)[np.asarray(p.valid)]
+        assert (np.diff(rid) >= 0).all()
+
+    def test_capped_renders_close_to_compact(self, key):
+        """Full render via renderer: capped vs compact rgb close (identical
+        when unconstrained)."""
+        import dataclasses
+
+        import numpy as np
+
+        from dregnerf_tpu.models import ngp
+        from dregnerf_tpu.ops.packed_grid import PackedGridConfig
+        from dregnerf_tpu.render.renderer import RenderConfig, render_rays
+
+        grid, aabb, o, d = self._scene(key)
+        cfg = ngp.NGPConfig(
+            grid=PackedGridConfig(n_levels=2, log2_table_size=8),
+            compute_dtype=jnp.float32,
+        )
+        params = ngp.init_ngp(key, cfg)
+        rcfg = RenderConfig(render_step_size=0.05, buffer_size=1 << 13,
+                            max_steps=64, march_compaction="capped")
+        out_a, aux_a = render_rays(params, cfg, grid, o, d, aabb, rcfg,
+                                   background=jnp.ones(3))
+        out_b, aux_b = render_rays(
+            params, cfg, grid, o, d, aabb,
+            dataclasses.replace(rcfg, march_compaction="compact"),
+            background=jnp.ones(3))
+        assert int(aux_a["n_samples"]) == int(aux_b["n_samples"])
+        np.testing.assert_allclose(np.asarray(out_a.rgb),
+                                   np.asarray(out_b.rgb), atol=2e-5)
+
+
+def test_bf16_grad_accum_close_to_f32(key):
+    """PackedGridConfig(grad_accum='bf16'): table gradient close to the
+    exact f32 scatter (tcnn-style reduced-precision accumulation)."""
+    import numpy as np
+
+    from dregnerf_tpu.ops import packed_grid as PG
+
+    base = dict(n_levels=2, log2_table_size=10, base_resolution=4,
+                per_level_scale=2.0)
+    cfg32 = PG.PackedGridConfig(**base)
+    cfg16 = PG.PackedGridConfig(**base, grad_accum="bf16")
+    v = PG.init_packed_grid(key, cfg32) * 1000.0  # O(0.1) features
+    x = jax.random.uniform(jax.random.fold_in(key, 1), (512, 3))
+
+    def loss(table, cfg):
+        p = PG.pack_table(table, cfg)
+        return jnp.sum(PG.packed_encode(p, x, cfg) ** 2)
+
+    g32 = jax.grad(lambda t: loss(t, cfg32))(v)
+    g16 = jax.grad(lambda t: loss(t, cfg16))(v)
+    assert g16.dtype == jnp.float32
+    denom = np.abs(np.asarray(g32)).max()
+    np.testing.assert_allclose(
+        np.asarray(g16), np.asarray(g32), atol=0.02 * denom)
