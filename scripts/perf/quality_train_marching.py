@@ -40,7 +40,8 @@ def main():
 
     variants = [("compact", "compact", "f32"), ("rows", "rows", "f32"),
                 ("capped", "capped", "f32"),
-                ("capped_bf16grad", "capped", "bf16")]
+                ("capped_bf16grad", "capped", "bf16"),
+                ("compact_bf16grad", "compact", "bf16")]
     only = os.environ.get("QTM_VARIANTS", "")
     if only:
         sel = set(only.split(","))
