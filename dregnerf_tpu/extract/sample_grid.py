@@ -110,6 +110,8 @@ def make_surface_chunk_fn(
             origins, viewdirs, grid, aabb, rcfg.contraction,
             rcfg.render_step_size, buffer_size, rcfg.max_steps,
             rcfg.near_plane, rcfg.far_plane, t_max=t_max, regions=regions,
+            compaction="capped",  # 1.6x vs compact on this shape; fairer
+            # per-ray budget under buffer pressure (probe_surface_march.py)
         )
         from dregnerf_tpu.ops.ray_march import sample_positions
 

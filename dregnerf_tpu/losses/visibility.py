@@ -103,7 +103,7 @@ def exact_visibility(
         packed = march_rays(
             o, viewdirs, grid, aabb, rcfg.contraction, rcfg.render_step_size,
             buffer_size, rcfg.max_steps, rcfg.near_plane, rcfg.far_plane,
-            t_max=t_max, regions=regions,
+            t_max=t_max, regions=regions, compaction="capped",
         )
         pos, _ = sample_positions(packed, o, viewdirs)
         sigma = ngp.query_density(params, pos, aabb, model_cfg).reshape(-1)

@@ -48,6 +48,7 @@ def make_sharded_surface_fn(
             origins, viewdirs, grid, aabb, rcfg.contraction,
             rcfg.render_step_size, buffer_per_device, rcfg.max_steps,
             rcfg.near_plane, rcfg.far_plane, t_max=t_max,
+            compaction="capped",
         )
         pos, _ = sample_positions(packed, origins, viewdirs)
         sigma = field.query_density(params, pos, aabb, model_cfg).reshape(-1)
