@@ -192,3 +192,38 @@ class TestPipeline:
         assert len(frames) == 2
         for f in frames:
             assert os.path.exists(f)
+
+
+def test_ngp_evaluator_cli_surface(pipeline, tmp_path):
+    """Stage-2 Evaluator surface: render-eval writes metrics.json and
+    extraction emits the voxel artifact set from a block checkpoint (the
+    reference eval_ngp_nerf.py contract)."""
+    import importlib
+    import sys
+
+    root, reg_root, block_dirs = pipeline
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    ev_mod = importlib.import_module("eval_ngp_nerf")
+
+    from dregnerf_tpu.datasets.base import load_scene_blocks
+
+    cfg = config_parser([
+        "--dataset", "objaverse", "--root_dir", os.path.join(root, "data"),
+        "--scene", "fixture_scene", "--expname", "e2e",
+        "--out_dir", os.path.join(root, "out"),
+        "--factor", "1", "--aabb=-1.0,-1.0,-1.0,1.0,1.0,1.0",
+        "--sample_budget", str(1 << 13), "--max_march_steps", "96",
+        "--test_chunk_size", "2048", "--no_bf16", "--compilation_cache", "",
+    ])
+    test_scene = load_scene_blocks(
+        "objaverse", os.path.join(root, "data"), "fixture_scene", "test", 1,
+        True, 2,
+    )[0]
+    ev = ev_mod.Evaluator(cfg, block_dirs[0], test_scene)
+    result = ev.evaluate()
+    assert np.isfinite(result["psnr"]) and result["num_views"] > 0
+    assert os.path.exists(os.path.join(block_dirs[0], "eval", "metrics.json"))
+    ev.sample_points()
+    for f in ("voxel_grid.pt", "voxel_mask.pt", "voxel_point_cloud.ply",
+              "density_voxel_grid.pt", "density_voxel_point_cloud.ply"):
+        assert os.path.exists(os.path.join(block_dirs[0], f)), f
