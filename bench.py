@@ -54,7 +54,6 @@ def main() -> None:
     num_rays = 4096
     k1, k2 = jax.random.split(key)
     origins = jax.random.uniform(k1, (num_rays, 3), minval=-3.0, maxval=-2.0)
-    viewdirs = -origins / jnp.linalg.norm(origins, axis=-1, keepdims=True)
 
     # steady-state rendering reuses the packed grid tables and the packed
     # occupancy regions (training re-packs per grid update — every 16 steps)
@@ -62,19 +61,25 @@ def main() -> None:
     regions = jax.jit(occupancy.pack_regions)(grid.binary)
 
     @jax.jit
-    def render(params, origins, viewdirs, regions):
+    def render(params, origins, regions):
+        viewdirs = -origins / jnp.linalg.norm(origins, axis=-1, keepdims=True)
         out, aux = render_rays(
             params, cfg, grid, origins, viewdirs, aabb, rcfg,
             background=jnp.ones(3), regions=regions,
         )
-        return out.rgb, aux["n_samples"]
+        # chain: next origins depend on this frame's rgb, so no two timed
+        # calls share arguments (guards against remote-execution result
+        # caching — CLAUDE.md measured-facts; chained == unchained within
+        # 1% when honest: 23.06 vs 22.92 ms, probe_bench_chained.py)
+        nxt = jnp.clip(origins + 1e-4 * (out.rgb - 0.5), -3.0, -2.0)
+        return nxt, out.rgb, aux["n_samples"]
 
-    rgb, n = render(params, origins, viewdirs, regions)
+    origins, rgb, n = render(params, origins, regions)
     jax.block_until_ready(rgb)
     iters = 10
     t0 = time.time()
     for _ in range(iters):
-        rgb, n = render(params, origins, viewdirs, regions)
+        origins, rgb, n = render(params, origins, regions)
     jax.block_until_ready(rgb)
     dt = (time.time() - t0) / iters
 
