@@ -114,10 +114,10 @@ def make_scene(
 
         rgba = _trace(origins, dirs, spheres).reshape(h, w, 4)
         img = (rgba * 255).astype(np.uint8)
-        name = f"r_{i}"
-        imageio.imwrite(os.path.join(subject, name + ".png"), img)
+        fname = f"r_{i}"
+        imageio.imwrite(os.path.join(subject, fname + ".png"), img)
         frames.append(
-            {"file_path": name, "transform_matrix": c2w.tolist()}
+            {"file_path": fname, "transform_matrix": c2w.tolist()}
         )
 
     with open(os.path.join(subject, "transforms.json"), "w") as f:

@@ -84,20 +84,35 @@ def exact_visibility(
     points: jnp.ndarray,
     buffer_size: int = 1 << 16,
     cutoff: float = 0.5,
+    samples_per_ray: int = 64,
 ) -> jnp.ndarray:
     """Reference-parity visibility: max over cameras of per-ray S >= cutoff.
 
     cam_origins: [C, 3] (padded), cam_valid: [C] bool, points: [M, 3].
-    Jittable: the camera loop is a fori_loop over a static C.
+    Jittable: the camera loop is a fori_loop over a static C; invalid
+    padded cameras are skipped with lax.cond (no wasted marching).
+
+    Points are processed in ray chunks of buffer_size // samples_per_ray
+    so the packed buffer holds `samples_per_ray` samples per ray on
+    average — without this, a large point set starves trailing rays of
+    samples and silently labels them invisible (the buffer is shared
+    ray-major). Raise `samples_per_ray` (or buffer_size) for scenes whose
+    camera->point rays cross more than ~samples_per_ray occupied steps.
     """
     m = points.shape[0]
     from dregnerf_tpu.ops.occupancy import pack_regions
 
     regions = pack_regions(grid.binary)  # once, not per camera iteration
 
-    def body(c, smax):
-        o = jnp.broadcast_to(cam_origins[c][None], (m, 3))
-        d = points - o
+    chunk = max(min(buffer_size // max(samples_per_ray, 1), m), 1)
+    n_chunks = -(-m // chunk)
+    pad = n_chunks * chunk - m
+    pts = jnp.concatenate([points, jnp.ones((pad, 3), points.dtype)])
+    pts = pts.reshape(n_chunks, chunk, 3)
+
+    def surface_chunk(origin, p):
+        o = jnp.broadcast_to(origin[None], (chunk, 3))
+        d = p - o
         t_max = jnp.linalg.norm(d, axis=-1)
         viewdirs = d / jnp.maximum(t_max[:, None], 1e-10)
         packed = march_rays(
@@ -108,8 +123,17 @@ def exact_visibility(
         pos, _ = sample_positions(packed, o, viewdirs)
         sigma = ngp.query_density(params, pos, aabb, model_cfg).reshape(-1)
         sigma = jnp.where(packed.valid, sigma, 0.0)
-        s = surface_field_per_ray(packed, sigma)
-        return jnp.maximum(smax, jnp.where(cam_valid[c], s, 0.0))
+        return surface_field_per_ray(packed, sigma)
+
+    def body(c, smax):
+        def march_cam(_):
+            s = jax.lax.map(
+                lambda p: surface_chunk(cam_origins[c], p), pts
+            ).reshape(-1)[:m]
+            return jnp.maximum(smax, s)
+
+        # padded camera slots skip the march entirely
+        return jax.lax.cond(cam_valid[c], march_cam, lambda _: smax, None)
 
     smax = jax.lax.fori_loop(0, cam_origins.shape[0], body, jnp.zeros(m))
     return (smax >= cutoff).astype(jnp.float32)
@@ -164,6 +188,14 @@ def load_visibility_context(
             f"only (got field={meta.get('field')!r})"
         )
     cams = np.asarray(meta["camera_poses"], np.float32)
+    if len(cams) > max_cameras:
+        print(
+            f"[visibility] WARNING: {path} has {len(cams)} cameras; exact "
+            f"visibility uses the first {max_cameras} (raise --vis_max_cameras "
+            "for full reference parity — points visible only from dropped "
+            "cameras will be labeled invisible)",
+            flush=True,
+        )
     origins = np.zeros((max_cameras, 3), np.float32)
     valid = np.zeros(max_cameras, bool)
     n = min(len(cams), max_cameras)

@@ -35,7 +35,15 @@ from dregnerf_tpu.utils.metrics import mse_to_psnr
 
 def stack_blocks(mesh: Mesh, trees: list):
     """Stack per-block pytrees along a new leading axis, sharded over the
-    mesh's data axis (one block per device when len(trees) == mesh size)."""
+    mesh's data axis (one block per device when len(trees) == mesh size).
+
+    When the block count does not divide the mesh size, the last block is
+    replicated as padding so the leading axis shards evenly — callers drop
+    the padded tail with `unstack_blocks(tree, n_real)` (padded blocks
+    train redundantly; their results are discarded)."""
+    n_data = int(mesh.shape["data"])
+    pad = (-len(trees)) % n_data
+    trees = list(trees) + [trees[-1]] * pad
     stacked = jax.tree_util.tree_map(
         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *trees
     )
@@ -43,6 +51,22 @@ def stack_blocks(mesh: Mesh, trees: list):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), stacked
     )
+
+
+def make_fleet_pack_regions(mesh: Mesh):
+    """Jitted per-block pack_regions over the fleet's sharded grids —
+    refreshed only when the grids change (every occupancy update), so the
+    hot loop never re-packs in-graph."""
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+        check_vma=False,
+    )
+    def pack(binary_B):
+        return jax.vmap(occupancy.pack_regions)(binary_B)
+
+    return pack
 
 
 def unstack_blocks(tree, n: int) -> list:
@@ -74,7 +98,8 @@ def make_fleet_train_step(
     """
     H, W = image_shape
 
-    def one_block(params, opt_state, grid_tuple, images, c2ws, K, n_img, key):
+    def one_block(params, opt_state, grid_tuple, regions, images, c2ws, K,
+                  n_img, key):
         # blocks may hold fewer real images than the padded stack: sample
         # image ids in [0, n_img) (n_img a per-block scalar)
         grid = OccupancyGrid(*grid_tuple)
@@ -94,6 +119,7 @@ def make_fleet_train_step(
             out, aux = render_rays(
                 p, model_config, grid, rays.origins, rays.viewdirs, aabb,
                 render_config, background=bg, stratified=True, key=kmarch,
+                regions=regions,
             )
             alive = (aux["ray_counts"] > 0).astype(jnp.float32)
             n_alive = jnp.maximum(jnp.sum(alive), 1.0)
@@ -116,12 +142,12 @@ def make_fleet_train_step(
         shard_map,
         mesh=mesh,
         in_specs=(P("data"), P("data"), P("data"), P("data"), P("data"),
-                  P("data"), P("data"), P()),
+                  P("data"), P("data"), P("data"), P()),
         out_specs=(P("data"), P("data"), P("data")),
         check_vma=False,
     )
-    def sharded(params_B, opt_state_B, grid_B, images_B, c2ws_B, K_B,
-                n_img_B, key):
+    def sharded(params_B, opt_state_B, grid_B, regions_B, images_B, c2ws_B,
+                K_B, n_img_B, key):
         # local shard: [blocks_per_device, ...]; step each block in a
         # fori_loop over the local block axis (1 block per device at fleet
         # size == mesh size; >1 folds extra blocks onto each device)
@@ -135,8 +161,8 @@ def make_fleet_train_step(
             o_i = jax.tree_util.tree_map(lambda x: x[i], opt)
             g_i = jax.tree_util.tree_map(lambda x: x[i], grid_B)
             p_i, o_i, m_i = one_block(
-                p_i, o_i, tuple(g_i), images_B[i], c2ws_B[i], K_B[i],
-                n_img_B[i], block_key,
+                p_i, o_i, tuple(g_i), regions_B[i], images_B[i], c2ws_B[i],
+                K_B[i], n_img_B[i], block_key,
             )
             params = jax.tree_util.tree_map(
                 lambda acc, v: acc.at[i].set(v), params, p_i)
@@ -157,11 +183,11 @@ def make_fleet_train_step(
         return params_B, opt_state_B, metrics
 
     @jax.jit
-    def wrapped(params_B, opt_state_B, grid_B, images_B, c2ws_B, K_B,
-                n_img_B, key):
+    def wrapped(params_B, opt_state_B, grid_B, regions_B, images_B, c2ws_B,
+                K_B, n_img_B, key):
         return sharded(
-            params_B, opt_state_B, tuple(grid_B), images_B, c2ws_B, K_B,
-            n_img_B, key,
+            params_B, opt_state_B, tuple(grid_B), regions_B, images_B,
+            c2ws_B, K_B, n_img_B, key,
         )
 
     return wrapped

@@ -117,6 +117,11 @@ def config_parser(argv=None) -> argparse.Namespace:
                         "exact visibility")
     parser.add_argument("--vis_cache_size", type=int, default=8,
                         help="device-resident NeRF-context LRU entries")
+    parser.add_argument("--vis_exact_warped", action="store_true",
+                        help="exact mode: also march the per-layer WARPED "
+                        "keypoints for the (gradient-free) nerf-consistency "
+                        "labels instead of the free voxel-mask lookup "
+                        "(~7x slower; full reference logging parity)")
     parser.add_argument("--mesh_shape", type=str, default="",
                         help="device mesh, e.g. '4,2' for (data, model)")
     parser.add_argument("--compilation_cache", type=str,

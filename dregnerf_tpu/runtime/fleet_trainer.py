@@ -22,6 +22,7 @@ import numpy as np
 from dregnerf_tpu.ops.occupancy import OccupancyGrid
 from dregnerf_tpu.parallel.fleet import (
     make_fleet_occ_update,
+    make_fleet_pack_regions,
     make_fleet_train_step,
     stack_blocks,
     unstack_blocks,
@@ -89,6 +90,7 @@ class FleetNGPTrainer:
                 t0.aabb, (t0.scene.height, t0.scene.width), num_rays,
                 synthetic=t0.scene.synthetic, opengl=t0.scene.opengl,
             )
+            pack_regions_B = make_fleet_pack_regions(mesh)
             occ_updates = make_fleet_occ_update(
                 mesh, t0.model_config, t0.aabb, t0.render_step_size,
                 t0.contraction,
@@ -101,9 +103,10 @@ class FleetNGPTrainer:
                     grid_B = occ_updates[it < OCC_WARMUP_STEPS](
                         grid_B, params_B, jax.random.fold_in(key, 2 * it + 1)
                     )
+                    regions_B = pack_regions_B(grid_B.binary)
                 params_B, opt_B, metrics = step(
-                    params_B, opt_B, grid_B, images_B, c2ws_B, K_B, n_img_B,
-                    jax.random.fold_in(key, 2 * it),
+                    params_B, opt_B, grid_B, regions_B, images_B, c2ws_B,
+                    K_B, n_img_B, jax.random.fold_in(key, 2 * it),
                 )
                 if (it + 1) % cfg.n_tensorboard == 0:
                     loss = np.asarray(metrics["loss"])

@@ -53,6 +53,7 @@ def compute_losses(
     grid_resolution: int,
     robust: bool = True,
     visibility_fns: tuple | None = None,
+    warped_visibility_fns: tuple | None = None,
 ):
     """All 4 registration losses; returns (total, dict, pred).
 
@@ -60,6 +61,15 @@ def compute_losses(
     labels. Default is the fast voxel-mask lookup; pass
     `make_exact_visibility_fns(...)` output for the reference-exact marched
     supervision.
+
+    warped_visibility_fns: optional separate (src, tgt) label fns for the
+    per-layer WARPED keypoints (the nerf-consistency term's tilde labels).
+    That term carries no gradient — both sides are binarized (>= 0.5 has
+    zero derivative; the reference binarizes identically,
+    confidence_loss.py:155) — so exact-mode training labels the warped
+    points with the free voxel-mask lookup by default and reserves marched
+    labels for the gradient-carrying gt targets; pass the exact fns here
+    to restore full reference logging parity (--vis_exact_warped).
     """
     pred = model.apply({"params": params["model"]}, batch)
     pose_gt = batch["pose"][:3, :4]  # [3, 4]
@@ -80,19 +90,26 @@ def compute_losses(
             pts, batch["tgt_mask"], aabb, grid_resolution
         )
     # GT overlap labels: keypoints against their own NeRF's visibility field.
-    # Keypoints and per-layer warped keypoints go through ONE vis call per
-    # side ([1+L, N, 3]) — exact visibility marches Nc rays per point, so
-    # batching the two queries halves that cost. Labels are binarized in the
-    # reference (confidence_loss.py:155) hence carry no gradient; stop_gradient
-    # prunes the marched backward graph accordingly.
-    src_labels = jax.lax.stop_gradient(
-        src_vis(jnp.concatenate([src_kp[None], pred["src_kp_warped"]], axis=0))
-    )  # [1+L, N]
-    tgt_labels = jax.lax.stop_gradient(
-        tgt_vis(jnp.concatenate([tgt_kp[None], pred["tgt_kp_warped"]], axis=0))
-    )
-    src_gt, src_tilde = src_labels[0], src_labels[1:]
-    tgt_gt, tgt_tilde = tgt_labels[0], tgt_labels[1:]
+    # Labels are binarized in the reference (confidence_loss.py:155) hence
+    # carry no gradient; stop_gradient prunes the marched backward graph.
+    if warped_visibility_fns is not None:
+        # split label sources: gt from `visibility_fns` (e.g. exact
+        # marching), tilde from the cheap warped fns (see docstring)
+        src_wvis, tgt_wvis = warped_visibility_fns
+        src_gt = jax.lax.stop_gradient(src_vis(src_kp))
+        tgt_gt = jax.lax.stop_gradient(tgt_vis(tgt_kp))
+        src_tilde = jax.lax.stop_gradient(src_wvis(pred["src_kp_warped"]))
+        tgt_tilde = jax.lax.stop_gradient(tgt_wvis(pred["tgt_kp_warped"]))
+    else:
+        # one batched vis call per side ([1+L, N, 3])
+        src_labels = jax.lax.stop_gradient(
+            src_vis(jnp.concatenate([src_kp[None], pred["src_kp_warped"]], axis=0))
+        )  # [1+L, N]
+        tgt_labels = jax.lax.stop_gradient(
+            tgt_vis(jnp.concatenate([tgt_kp[None], pred["tgt_kp_warped"]], axis=0))
+        )
+        src_gt, src_tilde = src_labels[0], src_labels[1:]
+        tgt_gt, tgt_tilde = tgt_labels[0], tgt_labels[1:]
 
     losses = {}
     # --- overlap (last layer) ---
@@ -336,6 +353,7 @@ class RegTrainer:
         optimizer = self.optimizer
         model_cfg, rcfg = self._vis_static
         buffer_size = int(getattr(self.config, "vis_buffer_size", 1 << 16))
+        exact_warped = bool(getattr(self.config, "vis_exact_warped", False))
 
         @jax.jit
         def step(params, opt_state, batch, src_ctx, tgt_ctx):
@@ -348,8 +366,28 @@ class RegTrainer:
                         tgt_ctx, model_cfg, rcfg, pts, buffer_size=buffer_size
                     ),
                 )
+                if exact_warped:
+                    warped_fns = None  # one batched exact call (full parity)
+                else:
+                    # warped (tilde) labels from the free voxel-mask lookup:
+                    # the nerf-consistency term is gradient-free either way
+                    # (binarized labels) and the warped points are L/(1+L) of
+                    # the marched rays — ~6/7 of exact-mode cost for zero
+                    # training effect
+                    from dregnerf_tpu.losses.visibility import grid_visibility
+
+                    warped_fns = (
+                        lambda pts: grid_visibility(
+                            pts, batch["src_mask"], aabb, res
+                        ),
+                        lambda pts: grid_visibility(
+                            pts, batch["tgt_mask"], aabb, res
+                        ),
+                    )
                 total, losses, pred = compute_losses(
-                    model, p, batch, aabb, res, robust, visibility_fns=vis_fns
+                    model, p, batch, aabb, res, robust,
+                    visibility_fns=vis_fns,
+                    warped_visibility_fns=warped_fns,
                 )
                 return total, (losses, pred["pose"][-1])
 

@@ -29,7 +29,6 @@ def main() -> None:
     net = lpips_pkg.LPIPS(net="alex", spatial=False).eval()
 
     out: dict[str, np.ndarray] = {}
-    convs = [m for m in net.net.slice_modules() ] if hasattr(net.net, "slice_modules") else None
     # the lpips package stores alexnet slices as net.net.slice1..slice5
     import torch
 

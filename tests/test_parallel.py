@@ -311,7 +311,8 @@ class TestFleet:
         import optax
 
         from dregnerf_tpu.parallel.fleet import (
-            make_fleet_train_step, stack_blocks, unstack_blocks)
+            make_fleet_pack_regions, make_fleet_train_step, stack_blocks,
+            unstack_blocks)
         from dregnerf_tpu.parallel.mesh import make_mesh
         from dregnerf_tpu.render.renderer import RenderConfig
 
@@ -331,12 +332,13 @@ class TestFleet:
         with mesh:
             step = make_fleet_train_step(
                 mesh, opt, cfg, rcfg, aabb, (8, 8), num_rays_per_block=64)
+            regions_B = make_fleet_pack_regions(mesh)(grid_B.binary)
             key = jax.random.PRNGKey(7)
             losses = []
             for s in range(steps):
                 params_B, opt_B, m = step(
-                    params_B, opt_B, grid_B, images_B, c2ws_B, K_B, n_img_B,
-                    jax.random.fold_in(key, s))
+                    params_B, opt_B, grid_B, regions_B, images_B, c2ws_B,
+                    K_B, n_img_B, jax.random.fold_in(key, s))
                 losses.append(np.asarray(m["loss"]))
         return unstack_blocks(params_B, len(blocks)), np.stack(losses)
 
@@ -359,3 +361,20 @@ class TestFleet:
         a = params_pair[0]["table"]
         b = params_solo[0]["table"]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fleet_pads_uneven_block_count(key):
+    """3 blocks on a 2-device mesh: stack_blocks pads with a replica so the
+    leading axis shards evenly; unstack drops the pad (review finding)."""
+    import numpy as np
+
+    from dregnerf_tpu.parallel.fleet import stack_blocks, unstack_blocks
+    from dregnerf_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(2, ("data",))
+    trees = [{"a": np.full((4,), float(i))} for i in range(3)]
+    stacked = stack_blocks(mesh, trees)
+    assert stacked["a"].shape == (4, 4)  # padded to 4
+    back = unstack_blocks(stacked, 3)
+    for i in range(3):
+        np.testing.assert_allclose(back[i]["a"], np.full((4,), float(i)))
