@@ -104,6 +104,11 @@ def config_parser(argv=None) -> argparse.Namespace:
     parser.add_argument("--max_num_rays", type=int, default=1 << 16)
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--no_bf16", dest="bf16", action="store_false")
+    parser.add_argument("--grad_accum", type=str, default="f32",
+                        choices=["f32", "bf16"],
+                        help="NGP table-gradient scatter accumulator: bf16 "
+                        "is tcnn-style reduced precision (see "
+                        "ops/packed_grid.py; gate on your scene)")
     parser.add_argument("--visibility", type=str, default="grid",
                         choices=["grid", "exact"],
                         help="registration GT overlap labels: 'grid' = "

@@ -145,8 +145,13 @@ class NGPTrainer:
         self.field = get_field(field_name)
         dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
         if field_name == "ngp":
+            from dregnerf_tpu.ops.packed_grid import PackedGridConfig
+
             self.model_config = ngp.NGPConfig(
-                unbounded=cfg.unbounded, compute_dtype=dtype
+                grid=PackedGridConfig(
+                    grad_accum=getattr(cfg, "grad_accum", "f32")
+                ),
+                unbounded=cfg.unbounded, compute_dtype=dtype,
             )
         else:
             from dregnerf_tpu.models.mlp_nerf import VanillaNeRFConfig

@@ -121,3 +121,39 @@ class TestResilience:
         guard_nans({"a": np.ones(3)}, "ok")
         with pytest.raises(FloatingPointError):
             guard_nans({"a": np.array([1.0, np.nan])}, "bad")
+
+
+def test_export_reference_pth(tmp_path):
+    """npz checkpoint -> reference-style flat model.pth (torch dict with
+    the reference's meta keys + model/occupancy tensors)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from dregnerf_tpu.models import ngp
+    from dregnerf_tpu.ops.hash_encoding import HashGridConfig
+    from dregnerf_tpu.runtime.checkpoint import save_checkpoint
+    from dregnerf_tpu.runtime.export_torch import export_reference_pth
+
+    cfg = ngp.NGPConfig(grid=HashGridConfig(n_levels=2, log2_table_size=8),
+                        compute_dtype=jnp.float32)
+    params = ngp.init_ngp(jax.random.PRNGKey(0), cfg)
+    meta = {
+        "step": 42, "field": "ngp", "aabb": [-1, -1, -1, 1, 1, 1],
+        "unbounded": False, "grid_resolution": 16,
+        "contraction_type": "aabb", "near_plane": 0.0, "far_plane": 1e10,
+        "render_step_size": 0.01, "alpha_thre": 0.0, "cone_angle": 0.0,
+        "camera_poses": np.eye(4)[None].tolist(), "block_id": 1,
+        "model_config": ngp.config_to_meta(cfg),
+    }
+    src = str(tmp_path / "model.ckpt")
+    save_checkpoint(src, {"model": params, "occupancy": {
+        "occs": jnp.zeros(16**3), "binary": jnp.zeros((16,) * 3, bool)}}, meta)
+    out = export_reference_pth(src)
+    d = torch.load(out, weights_only=False)
+    assert d["step"] == 42 and d["block_id"] == 1
+    assert d["contraction_type"] == "aabb"
+    assert "occupancy_grid" in d and "binary" in d["occupancy_grid"]
+    got = d["model"]["table"].numpy()
+    np.testing.assert_allclose(got, np.asarray(params["table"]))
