@@ -42,7 +42,7 @@ from dregnerf_tpu.runtime.ngp_trainer import NGPTrainer
 N_SCENES = 8
 N_TEST_SCENES = 2
 NGP_ITERS = 1000
-REG_ITERS = 2000
+REG_ITERS = int(os.environ.get("STAGE3_REG_ITERS", 2000))
 WORK = os.environ.get("STAGE3_WORK", "/tmp/stage3_fleet")
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "experiments", "stage3")
