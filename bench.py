@@ -1,21 +1,178 @@
-"""Benchmark: NGP rendering throughput (rays/s and samples/s) on one chip.
+"""Benchmark: the three hot paths on one chip — render, train, extract.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints one JSON line per metric; the LAST line is the headline render
+metric and carries all three in `detail` (the driver parses the last
+line; the others remain visible in the recorded tail).
 
 Baseline context (BASELINE.md): the reference publishes no numbers; the
-north star is rays/sec/chip on NGP rendering vs an A100 tcnn/nerfacc stack
-(~1e9 samples/s class). vs_baseline here is measured samples/s divided by
-a 1e8 samples/s reference-class floor for a single mid-range GPU; it will
-be recalibrated as real reference numbers are recorded.
+north stars are single-chip throughputs vs an A100 tcnn/nerfacc stack.
+vs_baseline denominators (reference-class floors, recalibrated as real
+numbers land):
+  render   1e8 samples/s  (A100 nerfacc+tcnn render class)
+  train    1e7 samples/s  (A100 class: ~10k iters x 2^18 in ~4-7 min)
+  extract  1e6 rays/s     (the Nc x Np surface pass, stage-2 hot loop)
 """
 from __future__ import annotations
 
 import json
+import shutil
+import tempfile
 import time
 
-# A100-class nerfacc+tcnn render throughput floor used for vs_baseline.
-BASELINE_SAMPLES_PER_S = 1e8
+BASELINE_RENDER = 1e8
+BASELINE_TRAIN = 1e7
+BASELINE_EXTRACT = 1e6
+
+
+def bench_render(jax, jnp):
+    from dregnerf_tpu.models import ngp
+    from dregnerf_tpu.ops import occupancy
+    from dregnerf_tpu.render.renderer import RenderConfig, render_rays
+
+    cfg = ngp.NGPConfig()  # full instant-ngp sizing, bf16 compute
+    key = jax.random.PRNGKey(0)
+    params = ngp.init_ngp(key, cfg)
+    aabb = jnp.array([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5])
+    binary = jax.random.uniform(jax.random.PRNGKey(1), (128, 128, 128)) < 0.25
+    grid = occupancy.init_grid(128)._replace(binary=binary)
+    rcfg = RenderConfig(
+        render_step_size=float(3.0 * 3**0.5 / 1024),
+        buffer_size=1 << 18,
+        max_steps=1024,
+        march_compaction="rows",
+    )
+
+    num_rays = 4096
+    k1, _ = jax.random.split(key)
+    origins = jax.random.uniform(k1, (num_rays, 3), minval=-3.0, maxval=-2.0)
+
+    params = jax.jit(lambda p: ngp.prepare_params(p, cfg))(params)
+    regions = jax.jit(occupancy.pack_regions)(grid.binary)
+
+    @jax.jit
+    def render(params, origins, regions):
+        viewdirs = -origins / jnp.linalg.norm(origins, axis=-1, keepdims=True)
+        out, aux = render_rays(
+            params, cfg, grid, origins, viewdirs, aabb, rcfg,
+            background=jnp.ones(3), regions=regions,
+        )
+        # chain origins through rgb: no two timed calls share args (the
+        # axon tunnel result-caches identical-arg calls — CLAUDE.md)
+        nxt = jnp.clip(origins + 1e-4 * (out.rgb - 0.5), -3.0, -2.0)
+        return nxt, out.rgb, aux["n_samples"]
+
+    origins, rgb, n = render(params, origins, regions)
+    jax.block_until_ready(rgb)
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        origins, rgb, n = render(params, origins, regions)
+    jax.block_until_ready(rgb)
+    dt = (time.time() - t0) / iters
+    return int(n) / dt, {
+        "rays_per_s": round(num_rays / dt),
+        "ms_per_batch": round(dt * 1e3, 2),
+        "n_samples_per_batch": int(n),
+    }
+
+
+def bench_train(jax, jnp):
+    """The REAL NGPTrainer at the reference config (2^18-sample budget,
+    128^3 grid, 1024 steps, full 2^19 tables) on the hermetic fixture —
+    includes occupancy updates and dynamic batching, i.e. true wall-clock
+    per trained sample."""
+    from dregnerf_tpu.datasets import fixtures
+    from dregnerf_tpu.datasets.base import load_scene_blocks
+    from dregnerf_tpu.runtime.config import config_parser
+    from dregnerf_tpu.runtime.ngp_trainer import NGPTrainer
+
+    root = tempfile.mkdtemp(prefix="bench_train_")
+    out = tempfile.mkdtemp(prefix="bench_train_out_")
+    try:
+        fixtures.make_scene(root, num_views=36, image_size=128)
+        scene = load_scene_blocks("objaverse", root, "fixture_scene", "train")[0]
+        cfg = config_parser([
+            "--dataset", "objaverse", "--root_dir", root,
+            "--scene", "fixture_scene", "--expname", "bench", "--out_dir", out,
+            "--factor", "1", "--aabb=-1.0,-1.0,-1.0,1.0,1.0,1.0",
+            "--max_iterations", "100000",
+            "--sample_budget", str(1 << 18),
+            "--max_march_steps", "1024",
+            "--grid_resolution", "128",
+            "--init_num_rays", "4096",
+            "--max_num_rays", str(1 << 15),
+        ])
+        trainer = NGPTrainer(cfg, scene)
+        key = jax.random.PRNGKey(0)
+        # warmup: compiles + bucket settling + occupancy warmup interval
+        for step in range(40):
+            m = trainer.train_iteration(step, jax.random.fold_in(key, step))
+        jax.block_until_ready(m["loss"])
+        iters = 32
+        counts = []  # device scalars; summed AFTER timing (no per-step sync)
+        t0 = time.time()
+        for step in range(40, 40 + iters):
+            m = trainer.train_iteration(step, jax.random.fold_in(key, step))
+            counts.append(m["n_samples"])
+        jax.block_until_ready(m["loss"])
+        dt = time.time() - t0
+        total_samples = sum(int(c) for c in counts)
+        return total_samples / dt, {
+            "s_per_step": round(dt / iters, 4),
+            "num_rays": int(m["num_rays"]),
+            "march": trainer.render_config.march_compaction,
+            "grad_accum": trainer.model_config.grid.grad_accum,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def bench_extract(jax, jnp):
+    """The Nc x Np surface-field megabatch (stage-2 hot loop,
+    SURVEY §3.2): camera->point rays with per-ray t_max, capped march +
+    density query + per-ray S reduction."""
+    from dregnerf_tpu.extract.sample_grid import make_surface_chunk_fn
+    from dregnerf_tpu.models import ngp
+    from dregnerf_tpu.ops import occupancy
+    from dregnerf_tpu.render.renderer import RenderConfig
+
+    cfg = ngp.NGPConfig()
+    key = jax.random.PRNGKey(0)
+    params = ngp.init_ngp(key, cfg)
+    params = jax.jit(lambda p: ngp.prepare_params(p, cfg))(params)
+    aabb = jnp.array([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5])
+    binary = jax.random.uniform(jax.random.PRNGKey(1), (128, 128, 128)) < 0.25
+    grid = occupancy.init_grid(128)._replace(binary=binary)
+    rcfg = RenderConfig(
+        render_step_size=float(3.0 * 3**0.5 / 1024), max_steps=1024
+    )
+
+    chunk = 8192
+    fn = make_surface_chunk_fn(params, cfg, grid, aabb, rcfg, chunk, 1 << 17)
+
+    pts0 = jax.random.uniform(key, (chunk, 3), minval=-1.2, maxval=1.2)
+    origin = jnp.array([0.0, 0.0, 3.0])
+
+    @jax.jit
+    def one(pts):
+        d = pts - origin[None]
+        t_max = jnp.linalg.norm(d, axis=-1)
+        dirs = d / t_max[:, None]
+        origins = jnp.tile(origin[None], (chunk, 1))
+        s = fn(origins, dirs, t_max)
+        # chain: next chunk's points depend on this chunk's output
+        return jnp.clip(pts + 1e-5 * s[:, None], -1.2, 1.2), s
+
+    pts, s = one(pts0)
+    jax.block_until_ready(s)
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        pts, s = one(pts)
+    jax.block_until_ready(s)
+    dt = (time.time() - t0) / iters
+    return chunk / dt, {"ms_per_chunk": round(dt * 1e3, 2), "chunk": chunk}
 
 
 def main() -> None:
@@ -28,79 +185,34 @@ def main() -> None:
     except Exception:
         pass
 
-    from dregnerf_tpu.models import ngp
-    from dregnerf_tpu.ops import occupancy
-    from dregnerf_tpu.render.renderer import RenderConfig, render_rays
+    train_sps, train_detail = bench_train(jax, jnp)
+    print(json.dumps({
+        "metric": "ngp_train_samples_per_s", "value": round(train_sps),
+        "unit": "samples/s",
+        "vs_baseline": round(train_sps / BASELINE_TRAIN, 4),
+        "detail": train_detail,
+    }), flush=True)
 
-    cfg = ngp.NGPConfig()  # full instant-ngp sizing, bf16 compute
-    key = jax.random.PRNGKey(0)
-    params = ngp.init_ngp(key, cfg)
-    aabb = jnp.array([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5])
-    # half-occupied grid: realistic skip pattern
-    binary = (
-        jax.random.uniform(jax.random.PRNGKey(1), (128, 128, 128)) < 0.25
-    )
-    grid = occupancy.init_grid(128)._replace(binary=binary)
-    rcfg = RenderConfig(
-        render_step_size=float(3.0 * 3**0.5 / 1024),
-        buffer_size=1 << 18,
-        max_steps=1024,
-        # row-packed marching: top_k selection + arithmetic sample
-        # positions + row compositor (see ops/ray_march.py RowSamples and
-        # scripts/perf/probe_march_parts.py for the measurements)
-        march_compaction="rows",
-    )
+    extract_rps, extract_detail = bench_extract(jax, jnp)
+    print(json.dumps({
+        "metric": "extract_surface_rays_per_s", "value": round(extract_rps),
+        "unit": "rays/s",
+        "vs_baseline": round(extract_rps / BASELINE_EXTRACT, 4),
+        "detail": extract_detail,
+    }), flush=True)
 
-    num_rays = 4096
-    k1, k2 = jax.random.split(key)
-    origins = jax.random.uniform(k1, (num_rays, 3), minval=-3.0, maxval=-2.0)
-
-    # steady-state rendering reuses the packed grid tables and the packed
-    # occupancy regions (training re-packs per grid update — every 16 steps)
-    params = jax.jit(lambda p: ngp.prepare_params(p, cfg))(params)
-    regions = jax.jit(occupancy.pack_regions)(grid.binary)
-
-    @jax.jit
-    def render(params, origins, regions):
-        viewdirs = -origins / jnp.linalg.norm(origins, axis=-1, keepdims=True)
-        out, aux = render_rays(
-            params, cfg, grid, origins, viewdirs, aabb, rcfg,
-            background=jnp.ones(3), regions=regions,
-        )
-        # chain: next origins depend on this frame's rgb, so no two timed
-        # calls share arguments (guards against remote-execution result
-        # caching — CLAUDE.md measured-facts; chained == unchained within
-        # 1% when honest: 23.06 vs 22.92 ms, probe_bench_chained.py)
-        nxt = jnp.clip(origins + 1e-4 * (out.rgb - 0.5), -3.0, -2.0)
-        return nxt, out.rgb, aux["n_samples"]
-
-    origins, rgb, n = render(params, origins, regions)
-    jax.block_until_ready(rgb)
-    iters = 10
-    t0 = time.time()
-    for _ in range(iters):
-        origins, rgb, n = render(params, origins, regions)
-    jax.block_until_ready(rgb)
-    dt = (time.time() - t0) / iters
-
-    n_samples = int(n)
-    samples_per_s = n_samples / dt
-    print(
-        json.dumps(
-            {
-                "metric": "ngp_render_samples_per_s",
-                "value": round(samples_per_s),
-                "unit": "samples/s",
-                "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 4),
-                "detail": {
-                    "rays_per_s": round(num_rays / dt),
-                    "ms_per_batch": round(dt * 1e3, 2),
-                    "n_samples_per_batch": n_samples,
-                    "device": str(jax.devices()[0]),
-                },
-            }
-        )
-    )
+    render_sps, render_detail = bench_render(jax, jnp)
+    render_detail.update({
+        "device": str(jax.devices()[0]),
+        "train_samples_per_s": round(train_sps),
+        "extract_rays_per_s": round(extract_rps),
+    })
+    print(json.dumps({
+        "metric": "ngp_render_samples_per_s", "value": round(render_sps),
+        "unit": "samples/s",
+        "vs_baseline": round(render_sps / BASELINE_RENDER, 4),
+        "detail": render_detail,
+    }), flush=True)
 
 
 if __name__ == "__main__":

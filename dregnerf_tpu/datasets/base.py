@@ -133,6 +133,8 @@ def make_blocks(
     synthetic: bool,
     subject_id: str,
     seed: int = 0,
+    near: float = 0.0,
+    far: float = 1e10,
 ) -> List[SceneData]:
     """Cluster into blocks, apply (and persist) per-block world-frame changes,
     then carve the train/test split inside each block."""
@@ -161,6 +163,8 @@ def make_blocks(
                 subject_id=subject_id,
                 split=split,
                 block_id=block_id,
+                near=near,
+                far=far,
             )
         )
     if fresh:

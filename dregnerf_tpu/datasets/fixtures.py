@@ -53,22 +53,65 @@ def random_spheres(seed: int, n_min: int = 3, n_max: int = 5):
     return spheres
 
 
+def random_boxes(seed: int, n_min: int = 3, n_max: int = 5):
+    """Random axis-aligned box cluster — the second fixture geometry
+    family (stage-3 experiments need >=2 shape families so held-out
+    generalization is not a single-geometry artifact). Shapes are
+    (center, half_extents[3], albedo); _trace dispatches on the
+    half-extent being a vector."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(n_min, n_max + 1))
+    boxes = [(np.zeros(3), rng.uniform(0.25, 0.45, 3), rng.uniform(0.15, 0.95, 3))]
+    for _ in range(n - 1):
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d)
+        boxes.append((
+            d * rng.uniform(0.3, 0.55),
+            rng.uniform(0.08, 0.25, 3),
+            rng.uniform(0.15, 0.95, 3),
+        ))
+    return boxes
+
+
 def _trace(origins: np.ndarray, dirs: np.ndarray, spheres=None) -> np.ndarray:
-    """Return [N, 4] RGBA via nearest sphere hit with normal shading."""
+    """Return [N, 4] RGBA via nearest hit with normal shading.
+
+    Shapes: (center, radius: float, albedo) spheres or
+    (center, half_extents: [3], albedo) axis-aligned boxes."""
     n = origins.shape[0]
     best_t = np.full(n, np.inf)
     rgba = np.zeros((n, 4), np.float32)
-    for center, radius, albedo in (SPHERES if spheres is None else spheres):
-        oc = origins - center
-        b = np.sum(oc * dirs, axis=-1)
-        c = np.sum(oc * oc, axis=-1) - radius**2
-        disc = b * b - c
-        hit = disc > 0
-        t = -b - np.sqrt(np.maximum(disc, 0))
-        hit &= (t > 1e-3) & (t < best_t)
-        p = origins[hit] + dirs[hit] * t[hit, None]
-        normal = (p - center) / radius
-        light = np.clip(normal @ np.array([0.5, 0.7, 0.5]), 0.1, 1.0)
+    light_dir = np.array([0.5, 0.7, 0.5])
+    for center, size, albedo in (SPHERES if spheres is None else spheres):
+        if np.ndim(size) == 0:  # sphere
+            radius = float(size)
+            oc = origins - center
+            b = np.sum(oc * dirs, axis=-1)
+            c = np.sum(oc * oc, axis=-1) - radius**2
+            disc = b * b - c
+            hit = disc > 0
+            t = -b - np.sqrt(np.maximum(disc, 0))
+            hit &= (t > 1e-3) & (t < best_t)
+            p = origins[hit] + dirs[hit] * t[hit, None]
+            normal = (p - center) / radius
+        else:  # axis-aligned box (slab method)
+            half = np.asarray(size, np.float64)
+            inv = 1.0 / np.where(np.abs(dirs) > 1e-12, dirs, 1e-12)
+            t0 = (center - half - origins) * inv
+            t1 = (center + half - origins) * inv
+            tn = np.max(np.minimum(t0, t1), axis=-1)
+            tf = np.min(np.maximum(t0, t1), axis=-1)
+            hit = (tf > tn) & (tn > 1e-3) & (tn < best_t)
+            t = tn
+            p = origins[hit] + dirs[hit] * t[hit, None]
+            # entry face: the axis whose slab sets tn
+            rel = (p - center) / half
+            axis = np.argmax(np.abs(rel), axis=-1)
+            normal = np.zeros_like(p)
+            normal[np.arange(len(p)), axis] = np.sign(
+                rel[np.arange(len(p)), axis]
+            )
+        light = np.clip(normal @ light_dir, 0.1, 1.0)
         rgba[hit, :3] = albedo[None] * (0.35 + 0.65 * light[:, None])
         rgba[hit, 3] = 1.0
         best_t[hit] = t[hit]

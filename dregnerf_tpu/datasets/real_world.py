@@ -21,7 +21,10 @@ SYNTHETIC = False
 TEST_EVERY = 8
 
 
-def _load_colmap(root: str, subject_id: str, split: str, factor: int = 1):
+def _load_colmap(
+    root: str, subject_id: str, split: str, factor: int = 1,
+    test_every: int = TEST_EVERY,
+):
     data_dir = os.path.join(root, subject_id)
     model = read_model(os.path.join(data_dir, "sparse", "0"))
 
@@ -45,7 +48,7 @@ def _load_colmap(root: str, subject_id: str, split: str, factor: int = 1):
     camtoworlds = np.stack(camtoworlds)
 
     idx = np.arange(len(images))
-    sel = idx[idx % TEST_EVERY == 0] if split == "test" else idx[idx % TEST_EVERY != 0]
+    sel = idx[idx % test_every == 0] if split == "test" else idx[idx % test_every != 0]
     return images[sel], camtoworlds[sel], K, model
 
 

@@ -93,11 +93,11 @@ def exact_visibility(
     padded cameras are skipped with lax.cond (no wasted marching).
 
     Points are processed in ray chunks of buffer_size // samples_per_ray
-    so the packed buffer holds `samples_per_ray` samples per ray on
-    average — without this, a large point set starves trailing rays of
-    samples and silently labels them invisible (the buffer is shared
-    ray-major). Raise `samples_per_ray` (or buffer_size) for scenes whose
-    camera->point rays cross more than ~samples_per_ray occupied steps.
+    rays, and the march's per-ray survivor cap is set to samples_per_ray,
+    so chunk * cap == buffer_size and the packed buffer can NEVER
+    overflow — no ray is silently starved regardless of scene density.
+    Rays crossing more than `samples_per_ray` occupied steps truncate at
+    the cap; raise `samples_per_ray` (or buffer_size) for such scenes.
     """
     m = points.shape[0]
     from dregnerf_tpu.ops.occupancy import pack_regions
@@ -119,6 +119,7 @@ def exact_visibility(
             o, viewdirs, grid, aabb, rcfg.contraction, rcfg.render_step_size,
             buffer_size, rcfg.max_steps, rcfg.near_plane, rcfg.far_plane,
             t_max=t_max, regions=regions, compaction="capped",
+            k_cap=samples_per_ray,
         )
         pos, _ = sample_positions(packed, o, viewdirs)
         sigma = ngp.query_density(params, pos, aabb, model_cfg).reshape(-1)

@@ -87,10 +87,14 @@ def _candidate_mask(
     """Shared candidate lattice + occupancy mask for all compaction modes.
 
     Returns (mask [R, S] bool, t_lo [R]). `group_span_cells` bounds how many
-    grid cells one region-row gather may serve; cells past the row's margin
-    read conservatively as occupied (extra samples, never lost content), so
-    larger spans trade a few false-positive samples for ~span/1.5 fewer
-    gathers (measured +0.3% samples at span 3.5 on the bench geometry).
+    grid cells one region-row gather may serve; the row is gathered at the
+    group's MIDPOINT step, so group cells sit within +-span/2 of the
+    leader. The packed region window spans [-2, +5] cells around the
+    leader's supercell (ops/occupancy.py pack_regions), so for spans up to
+    ~4 cells every group cell reads EXACTLY (round 3: the old first-step
+    leader made wide spans conservative — false-positive samples that cost
+    the capped trainer 0.66 dB). Cells past the margin (possible only
+    under nonlinear contraction) still read conservatively occupied.
     """
     num_rays = origins.shape[0]
     t_lo, t_hi = ray_aabb_intersect(origins, viewdirs, aabb, near_plane, far_plane)
@@ -110,7 +114,15 @@ def _candidate_mask(
     cell = jnp.clip(r_idx, 0, res - 1)
 
     steps_per_cell = max_steps / (res * 1.7320508)
-    group = int(np.clip(np.floor(group_span_cells * steps_per_cell) + 1, 1, 32))
+    # the tight 1.5-cell span keeps the round-1 group clamp of 8 (exact-grid
+    # parity even at large max_steps/res ratios); the wide 3.5-span path
+    # uses up to 32 — with the midpoint leader below, cells stay within
+    # +-span/2 <= 2 of the leader, inside the region margin, so wide
+    # groups are exact too (linear aabb case)
+    max_group = 8 if group_span_cells <= 1.5 else 32
+    group = int(
+        np.clip(np.floor(group_span_cells * steps_per_cell) + 1, 1, max_group)
+    )
     while max_steps % group != 0:
         group -= 1
 
@@ -118,7 +130,9 @@ def _candidate_mask(
         regions = pack_regions(grid.binary)
     n_groups = max_steps // group
     cell_g = cell.reshape(num_rays, n_groups, group, 3)
-    leader = cell_g[:, :, 0, :]
+    # midpoint leader: group cells deviate at most +-group/2 steps from it,
+    # which fits the [-2, +5]-cell region margin for spans <= ~4 cells
+    leader = cell_g[:, :, group // 2, :]
     occupied = query_regions(regions, res, cell_g, leader).reshape(
         num_rays, max_steps
     )
@@ -205,6 +219,7 @@ def march_rays(
     key: jax.Array | None = None,
     compaction: str = "compact",
     regions: jnp.ndarray | None = None,
+    k_cap: int | None = None,
 ) -> PackedSamples:
     """March rays through the occupancy grid into a packed sample buffer.
 
@@ -222,6 +237,9 @@ def march_rays(
         faster packing, padding where rays are short).
       regions: optional precomputed pack_regions(grid.binary) — hoist it
         out of chunk loops / reuse across steps between grid updates.
+      k_cap: per-ray survivor cap for compaction="capped" (default
+        min(256, max_steps, buffer_size)). Callers that chunk rays as
+        buffer_size // k_cap make buffer overflow impossible.
     """
     num_rays = origins.shape[0]
 
@@ -231,11 +249,12 @@ def march_rays(
     else:
         jitter = jnp.zeros((num_rays, 1))
 
-    # capped mode takes the wide-group region lookup (half the gathers;
-    # out-of-margin cells read conservatively occupied — same rule the rows
-    # renderer uses); compact/quota keep the tight span for exact-grid
-    # parity with round-1 numerics.
-    span = 3.5 if compaction == "capped" else 1.5
+    # all modes take the wide-group region lookup: with the midpoint
+    # leader the 3.5-cell span reads the grid EXACTLY (linear aabb case),
+    # at a quarter of the tight-span gather count (probe_step_parts.py:
+    # candidate mask 41 ms at span 1.5 / group 8 vs ~13 ms at span 3.5 /
+    # group 16 for 16384 x 1024 candidates).
+    span = 3.5
     mask, t_lo = _candidate_mask(
         origins, viewdirs, grid, aabb, contraction, render_step_size,
         max_steps, near_plane, far_plane, t_max, jitter, span, regions,
@@ -255,7 +274,7 @@ def march_rays(
         # rays with > K_cap survivors truncate at K_cap instead of pushing
         # later rays out of the buffer (a better-distributed cut; gated on
         # training quality, scripts/perf/quality_train_marching.py).
-        k_cap = min(256, max_steps, buffer_size)
+        k_cap = min(k_cap or 256, max_steps, buffer_size)
         big = jnp.int32(1 << 30)
         keys = jnp.where(
             mask, -jnp.arange(max_steps, dtype=jnp.int32)[None, :], -big
@@ -269,12 +288,17 @@ def march_rays(
         )  # [R+1]
         total = offsets[-1]
         ranks = jnp.arange(buffer_size, dtype=jnp.int32)
-        # row of flat slot i: binary search over the SMALL [R+1] offsets
-        # array (cache-resident) instead of the [R*S] candidate cumsum
-        row = (
-            jnp.searchsorted(offsets, ranks, side="right").astype(jnp.int32)
-            - 1
-        )
+        # row of flat slot i = (number of row starts <= i) - 1, computed by
+        # scattering a mark at every row start and taking a cumsum. This
+        # replaces searchsorted(offsets, ranks): the binary search costs
+        # ~14 gather passes over 2^18 ranks (~36 ms measured,
+        # probe_march_deep.py) while scatter+cumsum is ~2 ms (16K scatter
+        # rows + one 2^18 int cumsum). Empty rows put two marks on one
+        # slot; the cumsum then counts both, which is exactly "last row
+        # whose start <= i".
+        marks = jnp.zeros((buffer_size + 1,), jnp.int32)
+        marks = marks.at[jnp.minimum(offsets[:-1], buffer_size)].add(1)
+        row = jnp.cumsum(marks[:buffer_size]) - 1
         valid = ranks < jnp.minimum(total, buffer_size)
         row_safe = jnp.clip(row, 0, num_rays - 1)
         k = jnp.clip(ranks - offsets[row_safe], 0, k_cap - 1)

@@ -40,6 +40,10 @@ class RenderConfig:
     # gather-by-rank packing, tightest buffer utilization). See
     # ops/ray_march.py for the tradeoffs.
     march_compaction: str = "rows"
+    # per-ray survivor cap for march_compaction="capped"; None = min(256,
+    # max_steps). Training uses an adaptive cap (a few x the per-ray
+    # budget) so the top_k stays cheap.
+    k_cap: int | None = None
 
 
 def render_rays(
@@ -91,6 +95,7 @@ def render_rays(
         key=key,
         compaction=config.march_compaction,
         regions=regions,
+        k_cap=config.k_cap,
     )
     positions, dirs = sample_positions(packed, origins, viewdirs)
     if times is not None:

@@ -459,6 +459,20 @@ class RegTrainer:
         bsz = max(int(getattr(cfg, "reg_batch_size", 1)), 1)
         if getattr(self, "mesh", None) is not None:
             bsz = int(self.mesh.shape["data"])  # one pair per device
+        if bsz > 1:
+            n_pairs = len(self.train_dataset)
+            if n_pairs < bsz:
+                raise ValueError(
+                    f"batched RegTr training needs >= {bsz} train pairs "
+                    f"(batch/mesh size), got {n_pairs}; shrink --mesh_shape/"
+                    f"--reg_batch_size or add scenes"
+                )
+            dropped = n_pairs % bsz
+            if dropped:
+                print(
+                    f"[reg_trainer] dropping {dropped}/{n_pairs} remainder "
+                    f"pairs per epoch (batch size {bsz})", flush=True,
+                )
         while self.iteration < max_iterations:
             order = rng.permutation(len(self.train_dataset))
             if bsz > 1:

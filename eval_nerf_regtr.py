@@ -210,16 +210,18 @@ class RegEvaluator:
 
         src_ckpt = item.get("src_nerf_path", "")
         tgt_ckpt = item.get("tgt_nerf_path", "")
-        ok = all(
-            p and os.path.exists(p) and p.endswith(".ckpt")
-            for p in (src_ckpt, tgt_ckpt)
-        )
+        # any loadable checkpoint artifact works — no filename-suffix
+        # requirement (the manager writes .ckpt but users may point at
+        # exported/renamed artifacts)
+        ok = all(p and os.path.exists(p) for p in (src_ckpt, tgt_ckpt))
         if not ok:
             return
         poses = self._orbit_poses()
         for tag, transform in (
             ("gt", pose_gt), ("aligned", pose_est), ("unaligned", None)
         ):
+            # continue per-tag: a failure in "gt" must not silently drop
+            # the aligned/unaligned videos
             try:
                 render_pair_views(
                     src_ckpt, tgt_ckpt, poses, transform, scene_dir, tag,
@@ -227,7 +229,6 @@ class RegEvaluator:
                 )
             except Exception as e:
                 print(f"[eval] video {tag} skipped: {e}")
-                break
 
     def _agg_and_write(self, per_scene, fgr_per_scene):
         def agg(d):

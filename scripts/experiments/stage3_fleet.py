@@ -39,19 +39,38 @@ from dregnerf_tpu.ops.packed_grid import PackedGridConfig
 from dregnerf_tpu.runtime.config import config_parser
 from dregnerf_tpu.runtime.ngp_trainer import NGPTrainer
 
-N_SCENES = 8
-N_TEST_SCENES = 2
-NGP_ITERS = 1000
-REG_ITERS = int(os.environ.get("STAGE3_REG_ITERS", 2000))
+# Round-3 scale (VERDICT item 3): >=16 scenes over TWO geometry families
+# (sphere clusters + box clusters), full-size 2^19 tables, >=4000-step
+# stage 1 — vs round 2's 8 scenes / 1000 steps / 2^15 tables.
+N_SCENES = int(os.environ.get("STAGE3_SCENES", 16))
+N_TEST_SCENES = int(os.environ.get("STAGE3_TEST_SCENES", 4))
+NGP_ITERS = int(os.environ.get("STAGE3_NGP_ITERS", 4000))
+NGP_BUDGET = int(os.environ.get("STAGE3_BUDGET", 1 << 17))
+REG_ITERS = int(os.environ.get("STAGE3_REG_ITERS", 8000))
 WORK = os.environ.get("STAGE3_WORK", "/tmp/stage3_fleet")
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "experiments", "stage3")
 
-NGP_MODEL = NGPConfig(grid=PackedGridConfig(log2_table_size=15))
+# full instant-ngp sizing (2^19 tables, L8F4 default); march/accum from the
+# round-3 trainer defaults unless overridden
+NGP_MODEL = NGPConfig(
+    grid=PackedGridConfig(
+        grad_accum=os.environ.get("STAGE3_ACCUM", "bf16")
+    )
+)
+MARCH = os.environ.get("STAGE3_MARCH", "capped")
 
 
 def scene_names():
     return [f"scene_{i:02d}" for i in range(N_SCENES)]
+
+
+def scene_shapes(s_idx: int):
+    """Alternate geometry families: even scenes = sphere clusters, odd
+    scenes = box clusters (held-out set gets both families)."""
+    if s_idx % 2 == 0:
+        return fixtures.random_spheres(100 + s_idx)
+    return fixtures.random_boxes(200 + s_idx)
 
 
 def stage1_and_2():
@@ -62,18 +81,18 @@ def stage1_and_2():
         scene_dir = os.path.join(data_root, scene)
         if not os.path.exists(os.path.join(scene_dir, "transforms.json")):
             fixtures.make_scene(
-                data_root, num_views=30, image_size=96, seed=s_idx,
-                name=scene, spheres=fixtures.random_spheres(100 + s_idx),
+                data_root, num_views=36, image_size=96, seed=s_idx,
+                name=scene, spheres=scene_shapes(s_idx),
             )
         cfg = config_parser([
             "--dataset", "objaverse", "--root_dir", data_root,
             "--scene", scene, "--expname", scene, "--out_dir", out_root,
             "--factor", "1", "--aabb=-1.0,-1.0,-1.0,1.0,1.0,1.0",
             "--max_iterations", str(NGP_ITERS),
-            "--sample_budget", str(1 << 16), "--max_march_steps", "512",
-            "--grid_resolution", "64", "--init_num_rays", "1024",
-            "--max_num_rays", str(1 << 14),
-            "--n_tensorboard", "250", "--n_validation", "1000000",
+            "--sample_budget", str(NGP_BUDGET), "--max_march_steps", "1024",
+            "--grid_resolution", "128", "--init_num_rays", "1024",
+            "--max_num_rays", str(1 << 15),
+            "--n_tensorboard", "500", "--n_validation", "1000000",
             "--n_checkpoint", str(NGP_ITERS),
         ])
         train_blocks = load_scene_blocks(
@@ -92,6 +111,11 @@ def stage1_and_2():
             t0 = time.time()
             trainer = NGPTrainer(cfg, tr, te, output_dir=out_dir)
             trainer.model_config = NGP_MODEL
+            import dataclasses as _dc
+
+            trainer.render_config = _dc.replace(
+                trainer.render_config, march_compaction=MARCH
+            )
             trainer.params = init_ngp(jax.random.PRNGKey(1000 * s_idx + k),
                                       NGP_MODEL)
             trainer.opt_state = trainer.optimizer.init(trainer.params)
@@ -103,6 +127,16 @@ def stage1_and_2():
             psnr = trainer.validate(step=NGP_ITERS)
             print(f"[stage1] {scene} block_{k}: val PSNR {psnr:.2f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+            os.makedirs(OUT, exist_ok=True)
+            psnr_path = os.path.join(OUT, "stage1_psnr.json")
+            try:
+                with open(psnr_path) as f:
+                    psnr_rec = json.load(f)
+            except Exception:
+                psnr_rec = {}
+            psnr_rec[f"{scene}/block_{k}"] = round(float(psnr), 2)
+            with open(psnr_path, "w") as f:
+                json.dump(psnr_rec, f, indent=2, sort_keys=True)
 
             # stage 2: extract from the checkpoint
             from dregnerf_tpu.extract.sample_grid import (
@@ -229,7 +263,9 @@ def evaluate(trainer, val_ds, test_scenes):
         t = np.array([x["RTE"] for x in rows])
         return {
             "R_mean": float(r.mean()), "R_med": float(np.median(r)),
+            "R_std": float(r.std()), "R_max": float(r.max()),
             "t_mean": float(t.mean()), "t_med": float(np.median(t)),
+            "t_std": float(t.std()),
             "pairs": rows,
         }
 

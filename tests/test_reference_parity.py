@@ -319,6 +319,113 @@ class TestInfoNCE:
         np.testing.assert_allclose(float(got), float(want), atol=1e-4, rtol=1e-4)
 
 
+# --------------------------------------------------------------------- LPIPS
+class TestLPIPSMath:
+    """Golden test of utils/lpips.py against a torch re-derivation of the
+    published `lpips` package pipeline (Zhang et al. 2018: ScalingLayer ->
+    alexnet.features taps -> unit-normalize -> squared diff -> non-negative
+    1x1 lin calibration -> spatial mean -> sum), on a tiny synthetic
+    weight set. Reference usage: /root/reference/utils.py:188-200."""
+
+    _ALEX = [
+        # (cin, cout, k, stride, pad, pool_after)
+        (3, 64, 11, 4, 2, True),
+        (64, 192, 5, 1, 2, True),
+        (192, 384, 3, 1, 1, False),
+        (384, 256, 3, 1, 1, False),
+        (256, 256, 3, 1, 1, False),
+    ]
+
+    def _synthetic_weights(self, seed=0):
+        g = torch.Generator().manual_seed(seed)
+        params = {}
+        for i, (cin, cout, k, _, _, _) in enumerate(self._ALEX):
+            params[f"conv{i}.weight"] = 0.1 * torch.randn(cout, cin, k, k, generator=g)
+            params[f"conv{i}.bias"] = 0.1 * torch.randn(cout, generator=g)
+            params[f"lin{i}"] = torch.rand(cout, generator=g)
+        return params
+
+    def _torch_lpips(self, params, img0, img1):
+        """The lpips-package math in torch functional ops (NCHW)."""
+        import torch.nn.functional as F
+
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+        def taps(x):
+            h = (x * 2 - 1 - shift) / scale
+            outs = []
+            for i, (_, _, _, s, p, pool) in enumerate(self._ALEX):
+                h = F.relu(
+                    F.conv2d(
+                        h, params[f"conv{i}.weight"], params[f"conv{i}.bias"],
+                        stride=s, padding=p,
+                    )
+                )
+                outs.append(h)
+                if pool:
+                    h = F.max_pool2d(h, 3, stride=2)
+            return outs
+
+        t0, t1 = taps(img0), taps(img1)
+        total = 0.0
+        for i, (a, b) in enumerate(zip(t0, t1)):
+            a = a / (a.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+            b = b / (b.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+            d = (a - b) ** 2
+            w = params[f"lin{i}"].view(1, -1, 1, 1)
+            total = total + (d * w).sum(dim=1).mean(dim=(1, 2))
+        return total
+
+    def test_golden_synthetic_weights(self, tmp_path):
+        from dregnerf_tpu.utils import lpips as my_lpips
+
+        params = self._synthetic_weights()
+        # export in the documented npz schema (HWIO kernels)
+        npz = {}
+        for i in range(5):
+            npz[f"conv{i}.kernel"] = (
+                params[f"conv{i}.weight"].permute(2, 3, 1, 0).numpy()
+            )
+            npz[f"conv{i}.bias"] = params[f"conv{i}.bias"].numpy()
+            npz[f"lin{i}"] = params[f"lin{i}"].numpy()
+        path = str(tmp_path / "lpips_alex.npz")
+        np.savez(path, **npz)
+        jparams = my_lpips.load_weights(path)
+
+        g = torch.Generator().manual_seed(7)
+        img0 = torch.rand(1, 3, 64, 64, generator=g)
+        img1 = torch.rand(1, 3, 64, 64, generator=g)
+        with torch.no_grad():
+            want = float(self._torch_lpips(params, img0, img1)[0])
+
+        got = float(
+            my_lpips.lpips_distance(
+                jparams,
+                t2j(img0[0].permute(1, 2, 0)),
+                t2j(img1[0].permute(1, 2, 0)),
+            )
+        )
+        assert abs(got - want) < 1e-4, (got, want)
+
+    def test_identical_images_zero(self, tmp_path):
+        from dregnerf_tpu.utils import lpips as my_lpips
+
+        params = self._synthetic_weights()
+        npz = {}
+        for i in range(5):
+            npz[f"conv{i}.kernel"] = (
+                params[f"conv{i}.weight"].permute(2, 3, 1, 0).numpy()
+            )
+            npz[f"conv{i}.bias"] = params[f"conv{i}.bias"].numpy()
+            npz[f"lin{i}"] = params[f"lin{i}"].numpy()
+        path = str(tmp_path / "lpips_alex.npz")
+        np.savez(path, **npz)
+        jparams = my_lpips.load_weights(path)
+        img = jnp.asarray(np.random.default_rng(0).random((64, 64, 3)), jnp.float32)
+        assert float(my_lpips.lpips_distance(jparams, img, img)) < 1e-8
+
+
 # ---------------------------------------------------------------------- SSIM
 class TestSSIM:
     def test_window_and_formula(self):
