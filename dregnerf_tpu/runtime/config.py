@@ -109,6 +109,13 @@ def config_parser(argv=None) -> argparse.Namespace:
                         help="NGP table-gradient scatter accumulator: bf16 "
                         "is tcnn-style reduced precision (see "
                         "ops/packed_grid.py; gate on your scene)")
+    parser.add_argument("--march_compaction", type=str, default="",
+                        choices=["", "compact", "capped", "quota", "rows"],
+                        help="training marcher compaction; empty = the "
+                        "trainer's quality-gated default (see "
+                        "runtime/ngp_trainer.py). 'capped' = per-ray-cap "
+                        "packing, fastest budget-true mode; 'compact' = "
+                        "reference-exact global cut")
     parser.add_argument("--visibility", type=str, default="grid",
                         choices=["grid", "exact"],
                         help="registration GT overlap labels: 'grid' = "

@@ -176,14 +176,16 @@ class NGPTrainer:
             near_plane=self.near_plane,
             far_plane=self.far_plane,
             chunk_size=cfg.test_chunk_size,
-            # training keeps GLOBAL compaction: the reference's sample-budget
-            # semantics give every ray its full sample list and regulate cost
-            # through the ray count (train_ngp_nerf.py:313-319). The row-packed
-            # mode caps samples PER RAY at budget/rays, which truncates scene
-            # traversal when that ratio is small — fine for steady-state
-            # rendering (transmittance kills truncated tails) but measurably
-            # worse for training from scratch (fixture PSNR 13.1 vs 14.2).
-            march_compaction="compact",
+            # Training marcher (quality-gated, quality_train_marching.py):
+            # "compact" is the reference-exact global budget cut; "capped"
+            # packs per-ray-capped lists back-to-back — same sample content
+            # until overflow, no global rank search. The row-packed render
+            # mode stays OFF for training: K-per-ray truncation at
+            # budget/rays measurably hurts from-scratch training (round-2
+            # gate: rows val PSNR 11.68 vs 33.29).
+            march_compaction=(
+                getattr(cfg, "march_compaction", "") or "compact"
+            ),
         )
 
     def setup_optimizer(self) -> None:

@@ -57,7 +57,10 @@ def main():
             "--max_march_steps", "1024",
             "--grid_resolution", "128",
             "--init_num_rays", "4096",
-            "--max_num_rays", str(1 << 15),
+            # both variants settle at 16384 rays; capping there avoids a
+            # throwaway 32768-bucket compile (one such compile coincided
+            # with a wedged compile tunnel in round 3)
+            "--max_num_rays", str(1 << 14),
             "--n_tensorboard", "500",
             "--n_validation", "1000000",
             "--n_checkpoint", "1000000",
@@ -81,8 +84,16 @@ def main():
             trainer.state.opt_state = trainer.opt_state
             trainer._step_fns = {}
             trainer.__dict__.pop("_occ_update_fns", None)
+        # drive train_iteration directly (the trainer.train() wrapper hung
+        # twice through the axon tunnel at ~step 500 in capped mode while
+        # this direct loop trains the same config fine — /tmp repro r3)
         t0 = time.time()
-        trainer.train()
+        key = jax.random.PRNGKey(cfg.seed)
+        for step in range(STEPS):
+            trainer.train_iteration(step, jax.random.fold_in(key, step))
+            if step % 100 == 0:
+                print(f"  [{name}] step {step} ({time.time() - t0:.0f}s)",
+                      flush=True)
         train_s = time.time() - t0
         psnr = trainer.validate(step=STEPS)
         print(json.dumps({
