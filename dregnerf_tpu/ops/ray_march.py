@@ -113,6 +113,12 @@ def _candidate_mask(
     in_range = jnp.all((r_idx >= 0) & (r_idx < res), axis=-1)
     cell = jnp.clip(r_idx, 0, res - 1)
 
+    # steps-per-cell under the render_step_size = aabb_diag / max_steps
+    # convention (trainer setup_bounding_box; checkpoints carry it). Exact
+    # for cubic aabbs: an axis-aligned ray advances one cell every
+    # (E/res)/(E*sqrt(3)/max_steps) steps. Callers marching with COARSER
+    # steps than the convention get oversized groups whose far cells read
+    # conservatively occupied — extra samples, never lost content.
     steps_per_cell = max_steps / (res * 1.7320508)
     # the tight 1.5-cell span keeps the round-1 group clamp of 8 (exact-grid
     # parity even at large max_steps/res ratios); the wide 3.5-span path

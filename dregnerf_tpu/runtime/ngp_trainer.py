@@ -155,7 +155,7 @@ class NGPTrainer:
 
             self.model_config = ngp.NGPConfig(
                 grid=PackedGridConfig(
-                    grad_accum=getattr(cfg, "grad_accum", "f32")
+                    grad_accum=getattr(cfg, "grad_accum", "bf16")
                 ),
                 unbounded=cfg.unbounded, compute_dtype=dtype,
             )
@@ -184,8 +184,16 @@ class NGPTrainer:
             # budget/rays measurably hurts from-scratch training (round-2
             # gate: rows val PSNR 11.68 vs 33.29).
             march_compaction=(
-                getattr(cfg, "march_compaction", "") or "compact"
+                getattr(cfg, "march_compaction", "") or "capped"
             ),
+            # capped training uses a 512 per-ray cap: at the default step
+            # count a ray fully crossing an object needs up to ~270
+            # occupied steps, so the old 256 cap truncated central rays'
+            # exit shells (round-3 gate: 32.75 vs 33.29 dB). At 512 the
+            # cap never binds in practice and capped == compact sample
+            # content exactly (tested), at none of compact's global-rank
+            # search cost.
+            k_cap=min(512, cfg.max_march_steps),
         )
 
     def setup_optimizer(self) -> None:

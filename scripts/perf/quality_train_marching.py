@@ -41,6 +41,7 @@ def main():
     variants = [("compact", "compact", "f32"), ("rows", "rows", "f32"),
                 ("capped", "capped", "f32"),
                 ("capped_bf16grad", "capped", "bf16"),
+                ("capped512_bf16grad", "capped", "bf16"),
                 ("compact_bf16grad", "compact", "bf16")]
     only = os.environ.get("QTM_VARIANTS", "")
     if only:
@@ -67,7 +68,8 @@ def main():
         ])
         trainer = NGPTrainer(cfg, train_scene, test_scene)
         trainer.render_config = dataclasses.replace(
-            trainer.render_config, march_compaction=mode
+            trainer.render_config, march_compaction=mode,
+            k_cap=512 if "512" in name else 256,
         )
         if accum != "f32":
             from dregnerf_tpu.models.ngp import NGPConfig, init_ngp

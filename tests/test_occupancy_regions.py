@@ -85,8 +85,12 @@ class TestMarcherWithRegions:
                           np.ones(n)], -1)
         d = jnp.asarray(d_raw / np.linalg.norm(d_raw, axis=-1, keepdims=True),
                         jnp.float32)
-        step = 0.02
+        # the convention step (diag / max_steps): group sizing in
+        # _candidate_mask assumes it — coarser steps only add conservative
+        # extras (see its docstring), but the exactness assertion below
+        # holds under the convention
         S = 512
+        step = float(2.0 * 3**0.5 / S)
         packed = march_rays(o, d, grid, aabb, "aabb", step, 1 << 14, S)
 
         # dense reference

@@ -592,3 +592,36 @@ def test_bf16_grad_accum_close_to_f32(key):
     denom = np.abs(np.asarray(g32)).max()
     np.testing.assert_allclose(
         np.asarray(g16), np.asarray(g32), atol=0.02 * denom)
+
+
+def test_capped_k512_equals_compact_under_buffer_cut(key):
+    """Round-3 trainer default: with k_cap >= every ray's survivor count,
+    capped == compact EXACTLY even when the shared buffer cut is active
+    (the 256-cap truncated central rays' exit shells and cost 0.5 dB —
+    quality_train_marching round 3)."""
+    import numpy as np
+
+    from dregnerf_tpu.ops import occupancy
+    from dregnerf_tpu.ops.ray_march import march_rays
+
+    aabb = jnp.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+    res = 16
+    binary = jax.random.uniform(key, (res, res, res)) < 0.6
+    grid = occupancy.init_grid(res)._replace(binary=binary)
+    n = 64
+    o = jnp.stack(
+        [jnp.linspace(-0.8, 0.8, n), jnp.full((n,), -0.5), jnp.full((n,), -3.0)],
+        axis=-1,
+    )
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    # buffer far smaller than total survivors => the cut is ACTIVE
+    kw = dict(buffer_size=512, max_steps=128)
+    a = march_rays(o, d, grid, aabb, "aabb", 0.02, kw["buffer_size"],
+                   kw["max_steps"], compaction="capped", k_cap=128)
+    b = march_rays(o, d, grid, aabb, "aabb", 0.02, kw["buffer_size"],
+                   kw["max_steps"], compaction="compact")
+    assert int(a.num_samples) == int(b.num_samples) == 512
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_array_equal(np.asarray(a.ray_id), np.asarray(b.ray_id))
+    np.testing.assert_allclose(
+        np.asarray(a.t_start), np.asarray(b.t_start), atol=1e-6)
