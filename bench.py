@@ -106,13 +106,13 @@ def bench_train(jax, jnp):
         key = jax.random.PRNGKey(0)
         # warmup: compiles + bucket settling + occupancy warmup interval
         for step in range(40):
-            m = trainer.train_iteration(step, jax.random.fold_in(key, step))
+            m = trainer.train_iteration(step, key)
         jax.block_until_ready(m["loss"])
         iters = 32
         counts = []  # device scalars; summed AFTER timing (no per-step sync)
         t0 = time.time()
         for step in range(40, 40 + iters):
-            m = trainer.train_iteration(step, jax.random.fold_in(key, step))
+            m = trainer.train_iteration(step, key)
             counts.append(m["n_samples"])
         jax.block_until_ready(m["loss"])
         dt = time.time() - t0

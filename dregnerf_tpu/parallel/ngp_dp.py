@@ -20,6 +20,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
@@ -48,8 +49,9 @@ def make_dp_train_step(
     """Build a jitted, mesh-sharded train step.
 
     The returned fn takes (params, opt_state, grid, regions, images, c2ws,
-    K, key) with rays resampled per device (key folded with the device
-    index), and returns (params, opt_state, metrics) — params/opt_state
+    K, key, step_idx) with rays resampled per device (key folded with the
+    step counter and device index ON DEVICE — eager host-side folds cost
+    an RPC each through the remote tunnel), and returns (params, opt_state, metrics) — params/opt_state
     replicated, metrics reduced over the mesh. `regions` may be None
     (pack_regions runs in-graph). Metrics match the single-device trainer
     step (loss/psnr/n_samples/alive_rays).
@@ -60,10 +62,11 @@ def make_dp_train_step(
         render_config, buffer_size=max(render_config.buffer_size // n_data, 1)
     )
 
-    def step_impl(params, opt_state, grid_tuple, regions, images, c2ws, K, key):
+    def step_impl(params, opt_state, grid_tuple, regions, images, c2ws, K,
+                  key, step_idx):
         grid = OccupancyGrid(*grid_tuple)
         dev = jax.lax.axis_index("data")
-        key = jax.random.fold_in(key, dev)
+        key = jax.random.fold_in(jax.random.fold_in(key, step_idx), dev)
         kimg, kx, ky, kbg, kmarch = jax.random.split(key, 5)
         n_img = images.shape[0]
         img_id = jax.random.randint(kimg, (num_rays_per_device,), 0, n_img)
@@ -112,8 +115,8 @@ def make_dp_train_step(
         }
         return params, opt_state, metrics
 
-    specs_no_regions = (P(), P(), P(), P(), P(), P(), P())
-    specs_regions = (P(), P(), P(), P(), P(), P(), P(), P())
+    specs_no_regions = (P(), P(), P(), P(), P(), P(), P(), P())
+    specs_regions = (P(), P(), P(), P(), P(), P(), P(), P(), P())
 
     step_with_regions = functools.partial(
         shard_map, mesh=mesh, in_specs=specs_regions,
@@ -122,16 +125,19 @@ def make_dp_train_step(
     step_no_regions = functools.partial(
         shard_map, mesh=mesh, in_specs=specs_no_regions,
         out_specs=(P(), P(), P()), check_vma=False,
-    )(lambda p, o, g, i, c, k, key: step_impl(p, o, g, None, i, c, k, key))
+    )(lambda p, o, g, i, c, k, key, si: step_impl(p, o, g, None, i, c, k,
+                                                 key, si))
 
     @jax.jit
-    def wrapped(params, opt_state, grid, regions, images, c2ws, K, key):
+    def wrapped(params, opt_state, grid, regions, images, c2ws, K, key,
+                step_idx=np.int32(0)):
         if regions is None:
             return step_no_regions(
-                params, opt_state, tuple(grid), images, c2ws, K, key
+                params, opt_state, tuple(grid), images, c2ws, K, key, step_idx
             )
         return step_with_regions(
-            params, opt_state, tuple(grid), regions, images, c2ws, K, key
+            params, opt_state, tuple(grid), regions, images, c2ws, K, key,
+            step_idx,
         )
 
     return wrapped

@@ -92,7 +92,7 @@ def main():
         t0 = time.time()
         key = jax.random.PRNGKey(cfg.seed)
         for step in range(STEPS):
-            trainer.train_iteration(step, jax.random.fold_in(key, step))
+            trainer.train_iteration(step, key)
             if step % 100 == 0:
                 print(f"  [{name}] step {step} ({time.time() - t0:.0f}s)",
                       flush=True)
