@@ -181,12 +181,22 @@ def update_grid(
         vals = occ_eval_fn(x)
     else:
         uniform_idx = jax.random.randint(k_sel, (n_samples,), 0, n_cells)
-        # occupied resample: categorical over binary mask (uniform over
-        # occupied cells; falls back to uniform-over-all when none occupied)
+        # occupied resample: uniform over occupied cells via
+        # cumsum + searchsorted (exact). NOT jax.random.categorical: that
+        # lowers to O(n_samples * n_cells) gumbel draws — 2.7e11 elements
+        # at 128^3 / 2^17 samples, ~7.4 s per update through the v5e
+        # (round-3 probe: the occupancy update was 90% of trainer
+        # wall-clock). Falls back to uniform cells when none occupied.
         occ_mask = grid.binary.reshape(-1)
-        logits = jnp.where(occ_mask, 0.0, -1e9)
-        logits = jnp.where(jnp.any(occ_mask), logits, jnp.zeros_like(logits))
-        occ_idx = jax.random.categorical(k_occ, logits, shape=(n_samples,))
+        csum = jnp.cumsum(occ_mask.astype(jnp.int32))
+        total = csum[-1]
+        u = jax.random.randint(
+            k_occ, (n_samples,), 0, jnp.maximum(total, 1)
+        )
+        occ_idx = jnp.searchsorted(csum, u + 1).astype(uniform_idx.dtype)
+        occ_idx = jnp.where(
+            total > 0, jnp.minimum(occ_idx, n_cells - 1), uniform_idx
+        )
         indices = jnp.concatenate([uniform_idx, occ_idx])
         x = jitter_cells(k_j1, indices, r)
         vals = occ_eval_fn(x)
