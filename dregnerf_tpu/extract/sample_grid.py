@@ -98,8 +98,18 @@ def make_surface_chunk_fn(
     rcfg: RenderConfig,
     chunk: int,
     buffer_size: int,
+    samples_per_ray: int = 64,
 ):
-    """Jitted: (origins, viewdirs, t_max)[chunk] -> per-ray surface field S."""
+    """Jitted: (origins, viewdirs, t_max)[chunk] -> per-ray surface field S.
+
+    Callers MUST size chunk <= buffer_size // samples_per_ray: the march
+    caps each ray at `samples_per_ray` survivors so the packed buffer can
+    never overflow. Without the cap, dense scenes (fully-occupied object
+    interiors after converged training: ~265 occupied steps on a
+    center-crossing ray) need chunk x steps >> buffer and the global cut
+    silently returns S=0 for every trailing ray — round 3 saw 82 of ~10k
+    shell voxels survive extraction on a 105k-occupied-cell model.
+    """
     from dregnerf_tpu.ops.occupancy import pack_regions
 
     regions = pack_regions(grid.binary)  # once per fn, not per chunk call
@@ -112,6 +122,7 @@ def make_surface_chunk_fn(
             rcfg.near_plane, rcfg.far_plane, t_max=t_max, regions=regions,
             compaction="capped",  # 1.6x vs compact on this shape; fairer
             # per-ray budget under buffer pressure (probe_surface_march.py)
+            k_cap=samples_per_ray,
         )
         from dregnerf_tpu.ops.ray_march import sample_positions
 
@@ -135,13 +146,20 @@ def compute_surface_mask(
     buffer_size: int = 1 << 17,
     cutoff: float = SURFACE_CUTOFF,
     mesh=None,
+    samples_per_ray: int = 64,
+    return_scores: bool = False,
 ) -> np.ndarray:
     """[Np] bool: max over cameras of per-ray S >= cutoff (the Nc x Np pass).
 
     With `mesh` (from --mesh_shape) the ray axis of each chunk is sharded
     over the mesh's data axis (parallel/extract_sharded.py — zero
-    collectives, perfect scaling on the extraction bottleneck)."""
+    collectives, perfect scaling on the extraction bottleneck).
+
+    chunk is clamped to buffer_size // samples_per_ray and the march caps
+    each ray at samples_per_ray survivors, so the packed buffer cannot
+    overflow on dense scenes (see make_surface_chunk_fn)."""
     np_pts = points_world.shape[0]
+    chunk = max(1, min(chunk, buffer_size // max(samples_per_ray, 1)))
     if mesh is not None:
         from dregnerf_tpu.parallel.extract_sharded import make_sharded_surface_fn
 
@@ -150,6 +168,7 @@ def compute_surface_mask(
         sharded = make_sharded_surface_fn(
             mesh, model_cfg, aabb, rcfg,
             buffer_per_device=max(buffer_size // n_data, 1),
+            samples_per_ray=samples_per_ray,
         )
         grid_tuple = grid
 
@@ -157,7 +176,8 @@ def compute_surface_mask(
             return sharded(params, grid_tuple, o, d, t)
     else:
         fn = make_surface_chunk_fn(
-            params, model_cfg, grid, aabb, rcfg, chunk, buffer_size
+            params, model_cfg, grid, aabb, rcfg, chunk, buffer_size,
+            samples_per_ray=samples_per_ray,
         )
     surface = np.zeros(np_pts, np.float32)
     for cam in camera_poses:
@@ -175,6 +195,8 @@ def compute_surface_mask(
             t[:nn] = t_max_all[sl]
             s = np.asarray(fn(jnp.asarray(o), jnp.asarray(d), jnp.asarray(t)))
             surface[sl] = np.maximum(surface[sl], s[:nn])
+    if return_scores:
+        return surface
     return surface >= cutoff
 
 

@@ -31,10 +31,15 @@ def make_sharded_surface_fn(
     rcfg: RenderConfig,
     buffer_per_device: int = 1 << 16,
     field=ngp,
+    samples_per_ray: int = 64,
 ):
     """Jitted (params, grid, origins, viewdirs, t_max) -> per-ray S with the
     ray axis sharded over the mesh's `data` axis. Ray count must divide by
-    the axis size (pad on the host)."""
+    the axis size (pad on the host).
+
+    As in make_surface_chunk_fn, each ray is capped at `samples_per_ray`
+    survivors; size per-device rays <= buffer_per_device // samples_per_ray
+    so dense scenes cannot overflow the packed buffer."""
 
     @functools.partial(
         shard_map,
@@ -48,7 +53,7 @@ def make_sharded_surface_fn(
             origins, viewdirs, grid, aabb, rcfg.contraction,
             rcfg.render_step_size, buffer_per_device, rcfg.max_steps,
             rcfg.near_plane, rcfg.far_plane, t_max=t_max,
-            compaction="capped",
+            compaction="capped", k_cap=samples_per_ray,
         )
         pos, _ = sample_positions(packed, origins, viewdirs)
         sigma = field.query_density(params, pos, aabb, model_cfg).reshape(-1)

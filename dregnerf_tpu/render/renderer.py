@@ -192,6 +192,12 @@ def render_image_chunked(
     n = origins.shape[0]
     cs = config.chunk_size
     buf = eval_buffer_size or config.buffer_size
+    if eval_buffer_size is None and config.march_compaction == "rows":
+        # full-image eval must not inherit the TRAINING sample budget: at
+        # high step counts it gives each ray too few row slots (K =
+        # buffer/chunk) and silently truncates dense rays. 128 slots/ray
+        # covers any first-surface crossing with margin.
+        buf = max(buf, cs * min(128, config.max_steps))
     n_chunks = -(-n // cs)
     pad = n_chunks * cs - n
     o = jnp.concatenate([origins, jnp.zeros((pad, 3), origins.dtype)])

@@ -421,10 +421,20 @@ class NGPTrainer:
         )
         bg = jnp.ones(3)
         ts = getattr(scene, "timestamps", None)
+        # eval rendering: row-packed marching with a generous per-ray K.
+        # The TRAINING buffer (= sample budget) is too small for full-image
+        # chunks at high step counts — the shared cut silently rendered
+        # trailing rays as background (round 3: val PSNR 18 for a model
+        # whose train PSNR was 60).
+        eval_cfg = dataclasses.replace(
+            self.render_config, march_compaction="rows"
+        )
         rgb, _, _ = render_image_chunked(
             self.state.params, self.model_config, self.state.grid,
             rays.origins.reshape(-1, 3), rays.viewdirs.reshape(-1, 3),
-            self.aabb, self.render_config, bg, field=self.field,
+            self.aabb, eval_cfg, bg, field=self.field,
+            eval_buffer_size=self.config.test_chunk_size
+            * min(256, self.render_config.max_steps),
             time=None if ts is None else float(ts[idx]),
         )
         rgb = rgb.reshape(scene.height, scene.width, 3)

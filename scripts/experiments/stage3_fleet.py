@@ -104,58 +104,57 @@ def stage1_and_2():
         for k, (tr, te) in enumerate(zip(train_blocks, test_blocks)):
             out_dir = os.path.join(out_root, scene, f"block_{k}")
             block_dirs.append(out_dir)
-            done = os.path.join(out_dir, "voxel_grid.pt")
-            if os.path.exists(done):
-                print(f"[stage1/2] {scene} block_{k}: cached", flush=True)
+            ckpt = os.path.join(out_dir, "model", "model.ckpt")
+            voxels = os.path.join(out_dir, "voxel_grid.pt")
+
+            if not os.path.exists(ckpt):
+                t0 = time.time()
+                trainer = NGPTrainer(cfg, tr, te, output_dir=out_dir)
+                trainer.model_config = NGP_MODEL
+                import dataclasses as _dc
+
+                trainer.render_config = _dc.replace(
+                    trainer.render_config, march_compaction=MARCH
+                )
+                trainer.params = init_ngp(
+                    jax.random.PRNGKey(1000 * s_idx + k), NGP_MODEL)
+                trainer.opt_state = trainer.optimizer.init(trainer.params)
+                trainer.state.params = trainer.params
+                trainer.state.opt_state = trainer.opt_state
+                trainer._step_fns = {}
+                trainer.__dict__.pop("_occ_update_fns", None)
+                trainer.train()
+                psnr = trainer.validate(step=NGP_ITERS)
+                print(f"[stage1] {scene} block_{k}: val PSNR {psnr:.2f} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+                os.makedirs(OUT, exist_ok=True)
+                psnr_path = os.path.join(OUT, "stage1_psnr.json")
+                try:
+                    with open(psnr_path) as f:
+                        psnr_rec = json.load(f)
+                except Exception:
+                    psnr_rec = {}
+                psnr_rec[f"{scene}/block_{k}"] = round(float(psnr), 2)
+                with open(psnr_path, "w") as f:
+                    json.dump(psnr_rec, f, indent=2, sort_keys=True)
+            else:
+                print(f"[stage1] {scene} block_{k}: cached", flush=True)
+
+            # stage 2: extract from the checkpoint (re-run when the ckpt is
+            # newer than the artifacts — e.g. after an extraction fix)
+            if (os.path.exists(voxels)
+                    and os.path.getmtime(voxels) >= os.path.getmtime(ckpt)):
+                print(f"[stage2] {scene} block_{k}: cached", flush=True)
                 continue
-            t0 = time.time()
-            trainer = NGPTrainer(cfg, tr, te, output_dir=out_dir)
-            trainer.model_config = NGP_MODEL
-            import dataclasses as _dc
-
-            trainer.render_config = _dc.replace(
-                trainer.render_config, march_compaction=MARCH
-            )
-            trainer.params = init_ngp(jax.random.PRNGKey(1000 * s_idx + k),
-                                      NGP_MODEL)
-            trainer.opt_state = trainer.optimizer.init(trainer.params)
-            trainer.state.params = trainer.params
-            trainer.state.opt_state = trainer.opt_state
-            trainer._step_fns = {}
-            trainer.__dict__.pop("_occ_update_fns", None)
-            trainer.train()
-            psnr = trainer.validate(step=NGP_ITERS)
-            print(f"[stage1] {scene} block_{k}: val PSNR {psnr:.2f} "
-                  f"({time.time() - t0:.0f}s)", flush=True)
-            os.makedirs(OUT, exist_ok=True)
-            psnr_path = os.path.join(OUT, "stage1_psnr.json")
-            try:
-                with open(psnr_path) as f:
-                    psnr_rec = json.load(f)
-            except Exception:
-                psnr_rec = {}
-            psnr_rec[f"{scene}/block_{k}"] = round(float(psnr), 2)
-            with open(psnr_path, "w") as f:
-                json.dump(psnr_rec, f, indent=2, sort_keys=True)
-
-            # stage 2: extract from the checkpoint
             from dregnerf_tpu.extract.sample_grid import (
                 extract_voxel_features, save_voxel_artifacts)
-            from dregnerf_tpu.ops import occupancy as occ_mod
-            from dregnerf_tpu.runtime.checkpoint import (
-                load_checkpoint, _unflatten_into)
+            from dregnerf_tpu.runtime.ngp_trainer import (
+                load_field_from_checkpoint)
 
-            ckpt = os.path.join(out_dir, "model", "model.ckpt")
-            flat, meta = load_checkpoint(ckpt)
-            params = _unflatten_into(
-                init_ngp(jax.random.PRNGKey(0), NGP_MODEL), flat,
-                prefix="model::")
-            grid = occ_mod.OccupancyGrid(
-                occs=jnp.asarray(flat["occupancy::occs"]),
-                binary=jnp.asarray(flat["occupancy::binary"]),
-            )
+            params, grid, meta, model_cfg, _rc = (
+                load_field_from_checkpoint(ckpt))
             ex = extract_voxel_features(
-                params, NGP_MODEL, grid, meta, jax.random.PRNGKey(7),
+                params, model_cfg, grid, meta, jax.random.PRNGKey(7),
                 surface_chunk=8192,
             )
             save_voxel_artifacts(out_dir, ex)
