@@ -77,7 +77,10 @@ def config_parser(argv=None) -> argparse.Namespace:
 
     # log/saving
     parser.add_argument("--enable_tensorboard", action="store_true")
-    parser.add_argument("--enable_visdom", action="store_true")
+    parser.add_argument("--enable_visdom", action="store_true",
+                        help="start the live pose-visualization server "
+                        "(hermetic visdom replacement, utils/pose_server.py)")
+    parser.add_argument("--visdom_port", type=int, default=8097)
     parser.add_argument("--render_videos", action="store_true",
                         help="registration eval: render fused src/tgt "
                         "novel-view videos (gt/aligned/unaligned orbits)")

@@ -211,6 +211,19 @@ class RegTrainer:
             os.path.join(config.out_dir, "logs", config.expname),
             enable_tensorboard=getattr(config, "enable_tensorboard", False),
         )
+        self.pose_viz = None
+        if getattr(config, "enable_visdom", False):
+            # visdom replacement: hermetic live viewer (utils/pose_server.py;
+            # reference wires visdom here, conerf/base/trainer.py:137-156)
+            from dregnerf_tpu.utils.pose_server import PoseVizServer
+
+            self.pose_viz = PoseVizServer(
+                port=int(getattr(config, "visdom_port", 8097) or 8097))
+            print(
+                f"[reg_trainer] live pose viewer at "
+                f"http://127.0.0.1:{self.pose_viz.port}/",
+                flush=True,
+            )
         self.visibility = getattr(config, "visibility", "grid") or "grid"
         if self.visibility == "exact" and int(getattr(config, "reg_batch_size", 1)) > 1:
             raise ValueError(
@@ -509,11 +522,16 @@ class RegTrainer:
         rng = np.random.default_rng(self.iteration)
         ids = rng.choice(n, max(1, int(n * fraction)), replace=False)
         rres, rtes = [], []
+        viz_pair = None
         for i in ids:
             batch = self._to_device(self.val_dataset[int(i)])
-            _, rre, rte = self._eval_fn(self.params, batch)
+            pose, rre, rte = self._eval_fn(self.params, batch)
+            if viz_pair is None:
+                viz_pair = (batch, pose)
             rres.append(float(rre))
             rtes.append(float(rte))
+        if getattr(self, "pose_viz", None) is not None and viz_pair is not None:
+            self._push_pose_viz(*viz_pair)
         line = (
             f"[val] iter {self.iteration} RRE {np.mean(rres):.3f} deg "
             f"(med {np.median(rres):.3f}) RTE {np.mean(rtes):.4f} "
@@ -523,6 +541,39 @@ class RegTrainer:
         self._log_file.write(line + "\n")
         self._log_file.flush()
         return -float(np.mean(rres))
+
+    def _push_pose_viz(self, batch: Dict, pose_pred) -> None:
+        """Live registration view: tgt cloud (gray), src cloud under the GT
+        transform (blue) vs under the prediction (magenta), plus the two
+        transforms as frusta with a center-distance segment — the
+        DReg-NeRF reading of the reference's visdom camera plot."""
+        from dregnerf_tpu.utils.pose_server import (point_trace,
+                                                    visualize_cameras)
+
+        a = np.asarray(self.aabb, np.float32).reshape(-1)
+        res = self.grid_resolution
+
+        def centers(mask):
+            idx = np.argwhere(np.asarray(mask))
+            return (idx + 0.5) / res * (a[3:] - a[:3])[None] + a[:3][None]
+
+        def xf(T, pts):
+            T = np.asarray(T, np.float32)
+            return pts @ T[:3, :3].T + T[:3, 3][None]
+
+        gt = np.asarray(batch["pose"], np.float32)
+        pred = np.asarray(pose_pred, np.float32)
+        src, tgt = centers(batch["src_mask"]), centers(batch["tgt_mask"])
+        traces = [
+            point_trace(tgt, "#999999", seed=1),
+            point_trace(xf(gt, src), "#4488ff", seed=2),
+            point_trace(xf(pred, src), "#ff44cc", seed=2),
+        ]
+        visualize_cameras(
+            self.pose_viz, self.iteration, poses=[gt, pred],
+            cam_depth=0.15, colors=("#4488ff", "#ff44cc"),
+            extra_traces=traces,
+        )
 
     def log_scalars(self, metrics: Dict, elapsed: float) -> None:
         line = f"iter {self.iteration} | " + " | ".join(

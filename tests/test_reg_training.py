@@ -628,3 +628,24 @@ def test_reg_evaluator_artifacts(pair_root, tmp_path):
     ):
         assert os.path.exists(os.path.join(scene_dir, f)), f
     assert os.path.exists(os.path.join(ev.output_dir, "metrics_test.json"))
+
+    def test_validate_pushes_pose_viz(self, trainer):
+        """--enable_visdom live view: validate() publishes GT/pred clouds +
+        frusta to the hermetic pose server (visdom replacement)."""
+        import json
+        import urllib.request
+
+        from dregnerf_tpu.utils.pose_server import PoseVizServer
+
+        trainer.pose_viz = PoseVizServer(port=0)
+        try:
+            trainer.validate(fraction=0.5)
+            url = f"http://127.0.0.1:{trainer.pose_viz.port}/state.json"
+            state = json.loads(urllib.request.urlopen(url).read())
+            kinds = [t["kind"] for t in state["traces"]]
+            # 3 clouds (tgt, src@gt, src@pred) + 2 frusta + distance segs
+            assert kinds.count("points") == 3
+            assert kinds.count("lines") == 3
+        finally:
+            trainer.pose_viz.close()
+            trainer.pose_viz = None

@@ -157,3 +157,46 @@ def test_export_reference_pth(tmp_path):
     assert "occupancy_grid" in d and "binary" in d["occupancy_grid"]
     got = d["model"]["table"].numpy()
     np.testing.assert_allclose(got, np.asarray(params["table"]))
+
+
+def test_pose_viz_server_round_trip():
+    """The hermetic visdom replacement: frusta math + HTTP state serving
+    (reference conerf/visualization/pose_visualizer.py:11-152)."""
+    import json
+    import urllib.request
+
+    import numpy as np
+
+    from dregnerf_tpu.utils.pose_server import (PoseVizServer,
+                                                camera_wireframes,
+                                                point_trace,
+                                                visualize_cameras)
+
+    # identity pose: optical center at origin, image plane at z=depth
+    wires = camera_wireframes(np.eye(4), depth=2.0)
+    assert wires.shape == (1, 10, 3)
+    np.testing.assert_allclose(wires[0, 5], np.zeros(3))  # center vertex
+    assert np.allclose(wires[0, 0], [-1.0, -1.0, 2.0])
+
+    # a translated 3x4 pose shifts every vertex
+    pose = np.concatenate([np.eye(3), np.array([[1.0], [2.0], [3.0]])], 1)
+    w2 = camera_wireframes(pose, depth=2.0)
+    np.testing.assert_allclose(w2[0] - wires[0], np.tile([1, 2, 3], (10, 1)))
+
+    server = PoseVizServer(port=0)
+    try:
+        visualize_cameras(
+            server, step=7, poses=[np.eye(4)[None], pose[None]],
+            extra_traces=[point_trace(np.random.rand(2000, 3), "#999")],
+        )
+        url = f"http://127.0.0.1:{server.port}"
+        state = json.loads(urllib.request.urlopen(f"{url}/state.json").read())
+        assert state["step"] == 7
+        kinds = [t["kind"] for t in state["traces"]]
+        assert kinds.count("lines") == 3  # 2 frusta sets + distance segs
+        assert kinds.count("points") == 1
+        assert len(state["traces"][0]["points"]) == 800  # subsampled cloud
+        html = urllib.request.urlopen(f"{url}/").read().decode()
+        assert "state.json" in html and "canvas" in html
+    finally:
+        server.close()
