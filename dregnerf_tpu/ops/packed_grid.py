@@ -71,6 +71,14 @@ class PackedGridConfig:
     # fp16, so reduced-precision accumulation is the reference's own
     # design). Quality-gated before becoming default.
     grad_accum: str = "f32"
+    # run-length compression of the table-gradient scatter (ops/rle.py):
+    # marched samples are ray-coherent, so coarse levels see runs of equal
+    # slots; pre-summing runs (VPU cumsum, no serial loop) shrinks the
+    # serial per-row scatter. Set to the normalized step size
+    # (render_step_size / aabb extent, linear contraction only) to enable;
+    # 0 disables. Levels with expected runs < RLE_MIN_RUN keep the plain
+    # scatter; an in-graph overflow fallback keeps any heuristic correct.
+    rle_step_u: float = 0.0
 
     @property
     def out_dim(self) -> int:
@@ -154,6 +162,50 @@ def _grb_bwd(res, g):
 gather_rows_bf16_accum.defvjp(_grb_fwd, _grb_bwd)
 
 
+RLE_MIN_RUN = 4.0  # expected steps-per-cell below which RLE can't win
+_RLE_SAFETY = 2.0  # heuristic max_runs = safety * expected runs
+
+
+def rle_expected_run(config: PackedGridConfig, level: int) -> float:
+    """Expected consecutive samples per cell at `level` for a march with
+    normalized step `config.rle_step_u` (diagonal-worst-case crossing)."""
+    if config.rle_step_u <= 0.0:
+        return 0.0
+    scale = float(config.level_scales()[level])
+    return 1.0 / (config.rle_step_u * scale * 1.7320508)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _gather_rows_rle(max_runs: int, accum: str):
+    """gather with a run-length-compressed scatter-add backward.
+
+    Runs are pre-summed in f32 (better numerics than a plain bf16
+    scatter even when the final accumulation is bf16); the scatter then
+    touches one row per run. Overflowing the heuristic `max_runs` falls
+    back to the plain scatter in-graph (ops/rle.py)."""
+    from dregnerf_tpu.ops.rle import rle_scatter_add_safe
+
+    @jax.custom_vjp
+    def f(table, idx):
+        return table[idx]
+
+    def fwd(table, idx):
+        return table[idx], (idx, table.shape)
+
+    def bwd(res, g):
+        idx, shape = res
+        dt = jnp.bfloat16 if accum == "bf16" else jnp.float32
+        acc = rle_scatter_add_safe(
+            jnp.zeros(shape, dt), idx, g.astype(jnp.float32), max_runs)
+        return acc.astype(jnp.float32), None
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def pack_table(table: jnp.ndarray, config: PackedGridConfig) -> tuple:
     """V [total_rows, F] -> tuple of per-level P_l [T_l, 8*F] via 8 rolls.
 
@@ -228,8 +280,14 @@ def packed_encode(
     outs = []
     for l in range(L):
         slot = (lin[:, l] & t_pow2) if wrapped[l] else lin[:, l]
+        exp_run = rle_expected_run(config, l)
+        if exp_run >= RLE_MIN_RUN:
+            max_runs = min(n, int(_RLE_SAFETY * n / exp_run))
+            g = _gather_rows_rle(max_runs, config.grad_accum)
+        else:
+            g = gather
         # one gather per (point, level)
-        rows = gather(packed[l], slot.astype(jnp.int32))
+        rows = g(packed[l], slot.astype(jnp.int32))
         rows = rows.reshape(n, 8, F)
         outs.append(jnp.einsum("nc,ncf->nf", w[:, l], rows))
     out = jnp.stack(outs, axis=1)  # [N, L, F]

@@ -114,6 +114,12 @@ def config_parser(argv=None) -> argparse.Namespace:
                         "accumulation (the reference's own design; ~2.9x "
                         "faster scatter, 0.07 dB on the 1500-step gate). "
                         "f32 = exact accumulation.")
+    parser.add_argument("--rle_backward", action="store_true",
+                        help="run-length-compress the table-gradient "
+                        "scatter at coarse encoder levels (ops/rle.py; "
+                        "ray-coherent samples repeat coarse cells, the "
+                        "TPU scatter loop is per-row serial). In-graph "
+                        "overflow fallback keeps it exact.")
     parser.add_argument("--march_compaction", type=str, default="capped",
                         choices=["compact", "capped", "quota", "rows"],
                         help="training marcher compaction. Default "

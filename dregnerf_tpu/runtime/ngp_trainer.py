@@ -153,9 +153,18 @@ class NGPTrainer:
         if field_name == "ngp":
             from dregnerf_tpu.ops.packed_grid import PackedGridConfig
 
+            # RLE backward (ops/rle.py): needs the normalized march step;
+            # only meaningful for the linear aabb contraction where step_u
+            # is constant along the ray
+            rle_step_u = 0.0
+            if getattr(cfg, "rle_backward", False) and not cfg.unbounded:
+                aabb = np.asarray(cfg.aabb, np.float32).reshape(-1)
+                extent = float(np.min(aabb[3:] - aabb[:3]))
+                rle_step_u = self.render_step_size / max(extent, 1e-9)
             self.model_config = ngp.NGPConfig(
                 grid=PackedGridConfig(
-                    grad_accum=getattr(cfg, "grad_accum", "bf16")
+                    grad_accum=getattr(cfg, "grad_accum", "bf16"),
+                    rle_step_u=rle_step_u,
                 ),
                 unbounded=cfg.unbounded, compute_dtype=dtype,
             )

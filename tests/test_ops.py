@@ -159,3 +159,64 @@ class TestNGPModel:
         g = jax.grad(loss)(params)
         flat = jax.tree_util.tree_leaves(g)
         assert all(np.isfinite(np.asarray(l)).all() for l in flat)
+
+
+class TestRunLengthSegmentSum:
+    def test_matches_direct_scatter(self):
+        import numpy as np
+
+        from dregnerf_tpu.ops.rle import (rle_scatter_add,
+                                          run_length_segment_sum)
+
+        rng = np.random.default_rng(0)
+        # ray-coherent slots: runs of random length 1..9
+        runs = rng.integers(1, 10, size=200)
+        slots = rng.integers(0, 64, size=200)
+        idx = np.repeat(slots, runs).astype(np.int32)[:1024]
+        vals = rng.normal(size=(len(idx), 8)).astype(np.float32)
+
+        ridx, rsum, n_runs = run_length_segment_sum(
+            jnp.asarray(idx), jnp.asarray(vals), max_runs=512)
+        # true run count
+        expect_runs = 1 + int((idx[1:] != idx[:-1]).sum())
+        assert int(n_runs) == expect_runs
+        # per-run sums reassemble the direct scatter
+        direct = np.zeros((64, 8), np.float32)
+        np.add.at(direct, idx, vals)
+        via_rle = np.asarray(
+            rle_scatter_add(jnp.zeros((64, 8)), jnp.asarray(idx),
+                            jnp.asarray(vals), max_runs=512))
+        np.testing.assert_allclose(via_rle, direct, rtol=1e-5, atol=1e-5)
+        # unused run slots are zero rows
+        assert np.all(np.asarray(rsum)[expect_runs:] == 0)
+
+    def test_single_run_and_alternating(self):
+        import numpy as np
+
+        from dregnerf_tpu.ops.rle import run_length_segment_sum
+
+        one = jnp.zeros(16, jnp.int32)
+        v = jnp.ones((16, 4))
+        ridx, rsum, n = run_length_segment_sum(one, v, max_runs=4)
+        assert int(n) == 1
+        np.testing.assert_allclose(np.asarray(rsum)[0], 16.0)
+
+        alt = jnp.asarray(np.tile([3, 7], 8).astype(np.int32))
+        ridx, rsum, n = run_length_segment_sum(alt, v, max_runs=16)
+        assert int(n) == 16  # no compression possible
+        np.testing.assert_allclose(np.asarray(rsum)[:16], 1.0)
+        np.testing.assert_allclose(
+            np.asarray(ridx)[:16], np.tile([3, 7], 8))
+
+    def test_overflow_drops_not_corrupts(self):
+        import numpy as np
+
+        from dregnerf_tpu.ops.rle import run_length_segment_sum
+
+        idx = jnp.asarray(np.arange(32, dtype=np.int32))  # 32 runs
+        v = jnp.ones((32, 2))
+        ridx, rsum, n = run_length_segment_sum(idx, v, max_runs=8)
+        assert int(n) == 32  # reported truthfully
+        # kept runs are correct; none is double-counted
+        np.testing.assert_allclose(np.asarray(rsum[:8]), 1.0)
+        np.testing.assert_allclose(np.asarray(ridx[:8]), np.arange(8))

@@ -166,3 +166,58 @@ class TestNGPPackedIntegration:
             if first is None:
                 first = float(l)
         assert float(l) < first * 0.5
+
+
+def test_rle_backward_matches_plain_gradients():
+    """rle_step_u > 0 switches coarse levels to the run-length-compressed
+    scatter backward (ops/rle.py); gradients must match the plain
+    scatter-add exactly up to f32 summation order."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dregnerf_tpu.ops.packed_grid import (PackedGridConfig,
+                                              init_packed_grid, pack_table,
+                                              packed_encode,
+                                              rle_expected_run)
+
+    base = PackedGridConfig(n_levels=4, n_features=2, log2_table_size=10,
+                            base_resolution=4, per_level_scale=2.0)
+    step_u = 1.0 / 256.0  # coarse levels see long runs
+    rle = PackedGridConfig(n_levels=4, n_features=2, log2_table_size=10,
+                           base_resolution=4, per_level_scale=2.0,
+                           rle_step_u=step_u)
+    assert rle_expected_run(rle, 0) > 4.0  # RLE actually active somewhere
+    assert rle_expected_run(base, 0) == 0.0
+
+    table = init_packed_grid(jax.random.PRNGKey(0), base)
+
+    # ray-coherent positions: 8 rays x 64 steps
+    rng = np.random.default_rng(1)
+    o = rng.uniform(0.1, 0.3, (8, 1, 3)).astype(np.float32)
+    d = rng.normal(size=(8, 1, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t = (np.arange(64, dtype=np.float32) * step_u)[None, :, None]
+    x = jnp.asarray((o + d * t).reshape(-1, 3))
+
+    def loss(tbl, cfg):
+        out = packed_encode(pack_table(tbl, cfg), x, cfg)
+        return jnp.sum(jnp.sin(out) * out)
+
+    g_plain = jax.grad(lambda tb: loss(tb, base))(table)
+    g_rle = jax.grad(lambda tb: loss(tb, rle))(table)
+    np.testing.assert_allclose(np.asarray(g_rle), np.asarray(g_plain),
+                               rtol=2e-5, atol=1e-6)
+
+    # incoherent positions overflow the heuristic -> in-graph fallback,
+    # still exact
+    xr = jnp.asarray(rng.uniform(0, 1, (512, 3)).astype(np.float32))
+
+    def loss_r(tbl, cfg):
+        out = packed_encode(pack_table(tbl, cfg), xr, cfg)
+        return jnp.sum(out * out)
+
+    g_plain_r = jax.grad(lambda tb: loss_r(tb, base))(table)
+    g_rle_r = jax.grad(lambda tb: loss_r(tb, rle))(table)
+    np.testing.assert_allclose(np.asarray(g_rle_r), np.asarray(g_plain_r),
+                               rtol=2e-5, atol=1e-6)
