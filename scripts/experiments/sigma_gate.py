@@ -46,12 +46,22 @@ from dregnerf_tpu.runtime.ngp_trainer import (NGPTrainer,
 WORK = os.environ.get("SIGMA_GATE_WORK", "/tmp/sigma_gate")
 ITERS = int(os.environ.get("SIGMA_GATE_ITERS", 4000))
 BUDGET = int(os.environ.get("SIGMA_GATE_BUDGET", 1 << 17))
-CONFIGS = [
+# data-scale knobs: the 2x2 found the diffuseness is capacity-vs-data
+# (ALL configs fog at 36 views x 96px with 2^19 tables), so the second
+# experiment raises the pixel count toward the reference's regime
+# (objaverse: ~100 views x 800^2)
+N_VIEWS = int(os.environ.get("SIGMA_GATE_VIEWS", 36))
+IMG_SIZE = int(os.environ.get("SIGMA_GATE_IMG", 96))
+_ALL = [
     ("compact", "f32"),   # round-2 default: the quality reference
     ("capped", "f32"),
     ("compact", "bf16"),
     ("capped", "bf16"),   # round-3 default: the suspect
 ]
+_SEL = os.environ.get("SIGMA_GATE_CONFIGS", "")
+CONFIGS = (
+    [tuple(c.split("_")) for c in _SEL.split(",")] if _SEL else _ALL
+)
 
 
 def composite_white(img_u8):
@@ -119,12 +129,15 @@ def main():
     data_root = os.path.join(WORK, "data")
     scene = "scene_00"
     if not os.path.exists(os.path.join(data_root, scene, "transforms.json")):
-        fixtures.make_scene(data_root, num_views=36, image_size=96, seed=0,
-                            name=scene, spheres=fixtures.random_spheres(100))
+        fixtures.make_scene(data_root, num_views=N_VIEWS, image_size=IMG_SIZE,
+                            seed=0, name=scene,
+                            spheres=fixtures.random_spheres(100))
     tr = load_scene_blocks("objaverse", data_root, scene, "train", 1, True, 2)[0]
     te = load_scene_blocks("objaverse", data_root, scene, "test", 1, True, 2)[0]
 
     results = {}
+    scale_tag = f"@{N_VIEWS}x{IMG_SIZE}" if (N_VIEWS, IMG_SIZE) != (36, 96) \
+        else ""
     for march, accum in CONFIGS:
         name = f"{march}_{accum}"
         out_dir = os.path.join(WORK, "out", name)
@@ -159,15 +172,22 @@ def main():
             trainer.train()
             rec["train_s"] = round(time.time() - t0, 1)
         rec.update(checkpoint_metrics(ckpt, te, tr))
-        results[name] = rec
+        rec["views"], rec["img"] = N_VIEWS, IMG_SIZE
+        results[name + scale_tag] = rec
         print(json.dumps(rec), flush=True)
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), "experiments", "stage3",
         "sigma_gate.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
+    try:  # merge across runs (each run covers one data scale / config set)
+        with open(out) as f:
+            merged = json.load(f)
+    except Exception:
+        merged = {}
+    merged.update(results)
     with open(out, "w") as f:
-        json.dump(results, f, indent=2, sort_keys=True)
+        json.dump(merged, f, indent=2, sort_keys=True)
     print(f"wrote {out}", flush=True)
 
 

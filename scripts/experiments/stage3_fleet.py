@@ -46,6 +46,13 @@ N_SCENES = int(os.environ.get("STAGE3_SCENES", 16))
 N_TEST_SCENES = int(os.environ.get("STAGE3_TEST_SCENES", 4))
 NGP_ITERS = int(os.environ.get("STAGE3_NGP_ITERS", 4000))
 NGP_BUDGET = int(os.environ.get("STAGE3_BUDGET", 1 << 17))
+# Data scale: the sigma-gate experiments showed 36 views x 96px (331k
+# train pixels) overfits 2^19 tables into diffuse "fog" (sigma_p90 ~125,
+# surface extraction starved) regardless of marcher/accumulator config.
+# Training cost is pixel-count-independent (fixed sample budget), so the
+# fleet trains at a reference-like pixel regime by default.
+N_VIEWS = int(os.environ.get("STAGE3_VIEWS", 100))
+IMG_SIZE = int(os.environ.get("STAGE3_IMG", 192))
 REG_ITERS = int(os.environ.get("STAGE3_REG_ITERS", 8000))
 WORK = os.environ.get("STAGE3_WORK", "/tmp/stage3_fleet")
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
@@ -81,8 +88,8 @@ def stage1_and_2():
         scene_dir = os.path.join(data_root, scene)
         if not os.path.exists(os.path.join(scene_dir, "transforms.json")):
             fixtures.make_scene(
-                data_root, num_views=36, image_size=96, seed=s_idx,
-                name=scene, spheres=scene_shapes(s_idx),
+                data_root, num_views=N_VIEWS, image_size=IMG_SIZE,
+                seed=s_idx, name=scene, spheres=scene_shapes(s_idx),
             )
         cfg = config_parser([
             "--dataset", "objaverse", "--root_dir", data_root,
