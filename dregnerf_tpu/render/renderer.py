@@ -164,6 +164,108 @@ def _render_rays_rows(
     return out, aux
 
 
+def render_image_pipelined(
+    params: Any,
+    model_config: ngp.NGPConfig,
+    grid: OccupancyGrid,
+    origins: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    aabb: jnp.ndarray,
+    config: RenderConfig,
+    background: jnp.ndarray,
+    eval_buffer_size: int | None = None,
+    field=ngp,
+    time: float | None = None,
+):
+    """Software-pipelined full-image render (rows marcher only).
+
+    Two-stage pipeline over fixed-size ray chunks inside one lax.scan:
+    each iteration marches chunk i+1 (occupancy REGION gathers) while
+    shading chunk i (hash-table LEVEL gathers). The two stages are
+    data-independent inside the body, so XLA's latency-hiding scheduler
+    could in principle overlap their DMA streams — the round-2 probes
+    measured independent gathers pipelining to ~2x aggregate row
+    throughput (CLAUDE.md, probe_gather_chained.py).
+
+    MEASURED (round 3, probe_render_pipelined.py, 2^16 rays / 8192-chunk
+    / 2^18 buffer on v5e): pipelined 186.4 ms/image vs chunked 185.7 —
+    XLA does NOT overlap the two stages across the scan body; the
+    sequential march->shade schedule is preserved. Kept as an
+    equivalence-tested alternative path and as evidence that the
+    remaining render gap is not recoverable by software pipelining at
+    the lax.scan level.
+
+    Falls back to `render_image_chunked` for non-rows compaction modes.
+    Same signature/return as `render_image_chunked`.
+    """
+    from dregnerf_tpu.ops.occupancy import pack_regions
+
+    if config.march_compaction != "rows":
+        return render_image_chunked(
+            params, model_config, grid, origins, viewdirs, aabb, config,
+            background, eval_buffer_size, field, time,
+        )
+    if hasattr(field, "prepare_params"):
+        params = field.prepare_params(params, model_config)
+    regions = pack_regions(grid.binary)
+    n = origins.shape[0]
+    cs = config.chunk_size
+    buf = eval_buffer_size or config.buffer_size
+    if eval_buffer_size is None:
+        # eval must not inherit the TRAINING sample budget (see
+        # render_image_chunked)
+        buf = max(buf, cs * min(128, config.max_steps))
+    k_per_ray = min(max(buf // cs, 1), config.max_steps)
+    n_chunks = -(-n // cs)
+    pad = n_chunks * cs - n
+    o = jnp.concatenate([origins, jnp.zeros((pad, 3), origins.dtype)])
+    d = jnp.concatenate(
+        [viewdirs, jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (pad, 1))]
+    )
+    o = o.reshape(n_chunks, cs, 3)
+    d = d.reshape(n_chunks, cs, 3)
+    times = None if time is None else jnp.full((cs,), float(time))
+
+    def march_chunk(oc, dc, regions):
+        return march_rays_rows(
+            oc, dc, grid, aabb, config.contraction, config.render_step_size,
+            k_per_ray, config.max_steps, config.near_plane, config.far_plane,
+            regions=regions,
+        )
+
+    def shade_chunk(rows, oc, dc):
+        positions, dirs = row_sample_positions(rows, oc, dc)
+        if times is not None:
+            t_sample = jnp.broadcast_to(
+                times[:, None, None], (*rows.valid.shape, 1)
+            )
+            rgbs, sigmas = field.forward(
+                params, positions, dirs, aabb, model_config, t=t_sample
+            )
+        else:
+            rgbs, sigmas = field.forward(
+                params, positions, dirs, aabb, model_config
+            )
+        sigmas = jnp.where(rows.valid, sigmas.reshape(rows.valid.shape), 0.0)
+        out = composite_rows(rows, rgbs, sigmas, background=background)
+        return out.rgb, out.opacity, out.depth
+
+    def body(carry, x):
+        rows_prev, o_prev, d_prev = carry
+        o_next, d_next = x
+        rows_next = march_chunk(o_next, d_next, regions)  # independent of
+        out_prev = shade_chunk(rows_prev, o_prev, d_prev)  # this shade
+        return (rows_next, o_next, d_next), out_prev
+
+    rows0 = march_chunk(o[0], d[0], regions)
+    carry, outs = jax.lax.scan(body, (rows0, o[0], d[0]), (o[1:], d[1:]))
+    last = shade_chunk(carry[0], carry[1], carry[2])
+    rgb = jnp.concatenate([outs[0].reshape(-1, 3), last[0]])
+    opacity = jnp.concatenate([outs[1].reshape(-1), last[1]])
+    depth = jnp.concatenate([outs[2].reshape(-1), last[2]])
+    return rgb[:n], opacity[:n], depth[:n]
+
+
 def render_image_chunked(
     params: Any,
     model_config: ngp.NGPConfig,

@@ -625,3 +625,45 @@ def test_capped_k512_equals_compact_under_buffer_cut(key):
     np.testing.assert_array_equal(np.asarray(a.ray_id), np.asarray(b.ray_id))
     np.testing.assert_allclose(
         np.asarray(a.t_start), np.asarray(b.t_start), atol=1e-6)
+
+
+def test_pipelined_render_matches_chunked(key):
+    """render_image_pipelined == render_image_chunked (rows mode), with a
+    non-multiple-of-chunk ray count (exercises padding) and a single-chunk
+    case (scan over zero iterations)."""
+    import jax
+    import numpy as np
+
+    from dregnerf_tpu.models import ngp
+    from dregnerf_tpu.ops import occupancy
+    from dregnerf_tpu.ops.packed_grid import PackedGridConfig
+    from dregnerf_tpu.render.renderer import (
+        RenderConfig, render_image_chunked, render_image_pipelined)
+
+    aabb = jnp.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+    binary = jax.random.uniform(key, (16, 16, 16)) < 0.5
+    grid = occupancy.init_grid(16)._replace(binary=binary)
+    cfg = ngp.NGPConfig(
+        grid=PackedGridConfig(n_levels=2, log2_table_size=8),
+        compute_dtype=jnp.float32,
+    )
+    params = ngp.init_ngp(key, cfg)
+    rcfg = RenderConfig(
+        render_step_size=0.05, buffer_size=32 * 64, max_steps=64,
+        chunk_size=32, march_compaction="rows",
+    )
+    k1, _ = jax.random.split(key)
+    for n in (90, 24):  # 3 chunks with padding, and single-chunk
+        o = jax.random.uniform(k1, (n, 3), minval=-3.0, maxval=-2.5)
+        d = -o / jnp.linalg.norm(o, axis=-1, keepdims=True)
+        bg = jnp.ones(3)
+        rgb_c, op_c, dep_c = render_image_chunked(
+            params, cfg, grid, o, d, aabb, rcfg, bg)
+        rgb_p, op_p, dep_p = render_image_pipelined(
+            params, cfg, grid, o, d, aabb, rcfg, bg)
+        np.testing.assert_allclose(
+            np.asarray(rgb_c), np.asarray(rgb_p), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(op_c), np.asarray(op_p), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(dep_c), np.asarray(dep_p), atol=2e-4)
