@@ -69,8 +69,12 @@ def main():
                 return jnp.sum(out * jnp.sin(out)), out
 
             (l, out), g = jax.value_and_grad(loss, has_aux=True)(tbl)
-            # chain: next x depends on this grad (no result-cache reuse)
-            nx = jnp.clip(x + 1e-7 * out[:, :3], 0.0, 1.0)
+            # chain: next x depends on this output. The perturbation must
+            # SURVIVE f32 rounding or every timed call reuses identical
+            # args and the axon tunnel serves result-cache numbers (the
+            # first version used 1e-7*out ~ 1e-8 absolute, below the f32
+            # ulp at x~0.5 — measured a bogus 3.5e9 samples/s).
+            nx = jnp.clip(x + 1e-3 * jnp.sin(out[:, :3]), 0.0, 1.0)
             return nx, l, g
 
         x = x0
