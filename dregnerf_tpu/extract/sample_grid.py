@@ -180,21 +180,31 @@ def compute_surface_mask(
             samples_per_ray=samples_per_ray,
         )
     surface = np.zeros(np_pts, np.float32)
-    for cam in camera_poses:
-        origin = np.asarray(cam)[:3, 3]
-        dirs = points_world - origin[None]
-        t_max_all = np.linalg.norm(dirs, axis=-1)
-        viewdirs = dirs / np.maximum(t_max_all[:, None], 1e-10)
-        for i in range(0, np_pts, chunk):
+    # Chunk-outer / camera-inner with DEVICE-side max accumulation: a
+    # host sync per (camera, chunk) dispatch serializes against the
+    # remote chip (CLAUDE.md per-step-sync finding) — at 100 cameras x
+    # ~40 chunks that measured ~6 min/block through the axon tunnel.
+    # Accumulating jnp.maximum on device and syncing once per chunk
+    # keeps the identical jitted fn (same shapes) and lets dispatch
+    # pipeline: one round-trip per chunk instead of per camera.
+    origins = [np.asarray(cam)[:3, 3] for cam in camera_poses]
+    for i in range(0, np_pts, chunk):
+        sl = slice(i, min(i + chunk, np_pts))
+        nn = sl.stop - sl.start
+        pts = points_world[sl]
+        acc = None
+        for origin in origins:
+            dirs = pts - origin[None]
+            t_max = np.linalg.norm(dirs, axis=-1)
+            viewdirs = dirs / np.maximum(t_max[:, None], 1e-10)
             o = np.tile(origin[None], (chunk, 1)).astype(np.float32)
             d = np.zeros((chunk, 3), np.float32)
             t = np.zeros(chunk, np.float32)
-            sl = slice(i, min(i + chunk, np_pts))
-            nn = sl.stop - sl.start
-            d[:nn] = viewdirs[sl]
-            t[:nn] = t_max_all[sl]
-            s = np.asarray(fn(jnp.asarray(o), jnp.asarray(d), jnp.asarray(t)))
-            surface[sl] = np.maximum(surface[sl], s[:nn])
+            d[:nn] = viewdirs
+            t[:nn] = t_max
+            s = fn(jnp.asarray(o), jnp.asarray(d), jnp.asarray(t))
+            acc = s if acc is None else jnp.maximum(acc, s)
+        surface[sl] = np.asarray(acc)[:nn]
     if return_scores:
         return surface
     return surface >= cutoff
