@@ -49,6 +49,50 @@ def trilinear_resize(x: jnp.ndarray, size: tuple[int, int, int]) -> jnp.ndarray:
     return jax.image.resize(x, (b, *size, c), method="trilinear")
 
 
+def gather_trilinear_resized(
+    vol: jnp.ndarray, full_size: tuple[int, int, int], idx: jnp.ndarray
+) -> jnp.ndarray:
+    """`trilinear_resize(vol, full_size)[0].reshape(-1, C)[idx]` without
+    materializing the resized volume.
+
+    The dense path writes an [R^3, C] volume (1-2 GB at R=128, C=256) so
+    a few thousand occupied-voxel rows can be gathered from it; this
+    samples the SAME half-pixel-center trilinear reconstruction (the
+    `jax.image.resize` convention, equivalence-tested) at just the
+    requested sites: 8 corner gathers of [K, C] from the coarse volume.
+
+    vol: [1, d, h, w, C]; idx: [K] flat full-res indices in
+    ix*H*W + iy*W + iz order (the voxel_mask.pt convention).
+    """
+    _, d, h, w, c = vol.shape
+    D, H, W = full_size
+    flat = vol.reshape(d * h * w, c)
+
+    iz = idx % W
+    iy = (idx // W) % H
+    ix = idx // (W * H)
+
+    def axis_coords(i, n_in, n_out):
+        cx = (i.astype(jnp.float32) + 0.5) * (n_in / n_out) - 0.5
+        f = jnp.floor(cx)
+        t = cx - f
+        c0 = jnp.clip(f.astype(jnp.int32), 0, n_in - 1)
+        c1 = jnp.clip(f.astype(jnp.int32) + 1, 0, n_in - 1)
+        return c0, c1, t
+
+    x0, x1, tx = axis_coords(ix, d, D)
+    y0, y1, ty = axis_coords(iy, h, H)
+    z0, z1, tz = axis_coords(iz, w, W)
+
+    out = jnp.zeros((idx.shape[0], c), jnp.float32)
+    for dx, xc, wx in ((0, x0, 1.0 - tx), (1, x1, tx)):
+        for dy, yc, wy in ((0, y0, 1.0 - ty), (1, y1, ty)):
+            for dz, zc, wz in ((0, z0, 1.0 - tz), (1, z1, tz)):
+                rows = flat[(xc * h + yc) * w + zc]
+                out = out + rows.astype(jnp.float32) * (wx * wy * wz)[:, None]
+    return out.astype(vol.dtype)
+
+
 class NeRFRegTr(nn.Module):
     pos_emb_type: str = "sine"
     d_model: int = 256
@@ -68,6 +112,12 @@ class NeRFRegTr(nn.Module):
     # `sp_axis`; exact equivalence with local attention (tested).
     sp_mesh: Any = None
     sp_axis: str = "data"
+    # materialize the full [R^3, D] upsampled FPN volume before voxel
+    # selection (the reference's F.interpolate path) instead of sampling
+    # the trilinear reconstruction at the selected voxels only. Same
+    # values (gather_trilinear_resized is equivalence-tested); the dense
+    # path costs 1-2 GB of HBM traffic per side at R=128, D=256.
+    dense_resize: bool = False
 
     @nn.compact
     def __call__(self, data: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
@@ -101,13 +151,18 @@ class NeRFRegTr(nn.Module):
             r = grid.shape[0]
             rgba = grid[None, ..., 3:7].astype(self.dtype)  # [1, R, R, R, 4]
             feats = fpn(rgba)  # [1, R/2, R/2, R/2, D]
-            feats = trilinear_resize(feats, (r, r, r))[0]  # [R, R, R, D]
             xyz_flat = grid[..., :3].reshape(-1, 3)
-            feats_flat = feats.reshape(-1, self.d_model)
             idx, valid = masked_select_first_k(mask, self.max_input_points)
+            if self.dense_resize:
+                up = trilinear_resize(feats, (r, r, r))[0]  # [R, R, R, D]
+                sel = up.reshape(-1, self.d_model)[idx]
+            else:
+                # sample the upsampled field only at the selected voxels
+                # (identical reconstruction, no [R^3, D] volume in HBM)
+                sel = gather_trilinear_resized(feats, (r, r, r), idx)
             return PointSet(
                 xyz=xyz_flat[idx] * valid[:, None],
-                feats=feats_flat[idx] * valid[:, None],
+                feats=sel * valid[:, None],
                 valid=valid,
                 count=jnp.sum(mask.astype(jnp.int32)),
             )

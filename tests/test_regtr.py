@@ -201,3 +201,59 @@ def test_fpn_v3_variant_for_basic_nets(key):
         assert k2 == lateral_kernel, (arch, k2)
         out = fpn.apply({"params": params}, x)
         assert out.shape == (1, 8, 8, 8, 32)
+
+
+class TestGatherTrilinearResized:
+    """gather_trilinear_resized must reproduce the dense
+    trilinear_resize -> flatten -> gather path exactly (it replaces the
+    reference's F.interpolate-then-select with sample-site evaluation;
+    conerf/register/nerf_regtr.py:139-147)."""
+
+    @pytest.mark.parametrize("shape,full", [
+        ((4, 4, 4), (8, 8, 8)),
+        ((3, 5, 4), (7, 9, 11)),   # odd, anisotropic
+        ((8, 8, 8), (8, 8, 8)),    # identity scale
+    ])
+    def test_matches_dense_resize(self, shape, full):
+        from dregnerf_tpu.models.regtr import (gather_trilinear_resized,
+                                               trilinear_resize)
+
+        rng = np.random.default_rng(0)
+        c = 6
+        vol = jnp.asarray(rng.normal(size=(1, *shape, c)), jnp.float32)
+        n_full = full[0] * full[1] * full[2]
+        idx = jnp.asarray(rng.integers(0, n_full, size=64), jnp.int32)
+
+        dense = trilinear_resize(vol, full)[0].reshape(-1, c)[idx]
+        sparse = gather_trilinear_resized(vol, full, idx)
+        np.testing.assert_allclose(
+            np.asarray(sparse), np.asarray(dense), rtol=1e-5, atol=1e-5)
+
+    def test_model_dense_and_sparse_paths_agree(self, key):
+        from dregnerf_tpu.models.regtr import NeRFRegTr
+
+        rng = np.random.default_rng(3)
+        r = 16
+        grid = np.zeros((r, r, r, 7), np.float32)
+        mask = np.zeros(r * r * r, bool)
+        ii = rng.integers(1, r - 1, size=(150, 3))
+        flat = ii[:, 0] * r * r + ii[:, 1] * r + ii[:, 2]
+        grid.reshape(-1, 7)[flat, :3] = (ii + 0.5) / r * 3.0 - 1.5
+        grid.reshape(-1, 7)[flat, 3:6] = rng.uniform(size=(150, 3))
+        grid.reshape(-1, 7)[flat, 6] = 1.0
+        mask[flat] = True
+        data = {"src_grid": jnp.asarray(grid), "src_mask": jnp.asarray(mask),
+                "tgt_grid": jnp.asarray(grid), "tgt_mask": jnp.asarray(mask)}
+
+        kw = dict(backbone="resnet18", d_model=32, num_layers=1, num_heads=4,
+                  dim_feedforward=64, max_input_points=256, num_tokens=64,
+                  max_points=50, dtype=jnp.float32)
+        sparse_model = NeRFRegTr(**kw)
+        dense_model = NeRFRegTr(dense_resize=True, **kw)
+        params = sparse_model.init(jax.random.PRNGKey(0), data)
+        out_s = sparse_model.apply(params, data)
+        out_d = dense_model.apply(params, data)
+        for k in ("pose", "src_overlap", "src_feats"):
+            np.testing.assert_allclose(
+                np.asarray(out_s[k]), np.asarray(out_d[k]),
+                rtol=1e-4, atol=1e-4, err_msg=k)
