@@ -119,12 +119,21 @@ class NeRFRegDataset:
         split: str = "train",
         model_dir: str = "nerf_models",
         seed: int = 0,
+        cache_blocks: int = 64,
     ):
         self.split = split
         self.rng = np.random.default_rng(seed)
         self.jitter_scale, self.jitter_clip = 0.005, 0.05
         self.perturb_std = 0.1
         self.meta: List[Dict] = []
+        # In-memory LRU over decoded (grid, mask) block artifacts. The
+        # reference reloads voxel_grid.pt from disk every __getitem__
+        # (conerf/datasets/register/dataset.py:221-248) — measured here at
+        # 0.5-6 s per 59 MB block on this host, which would dominate the
+        # training step. Augmentations mutate the arrays in place, so
+        # cache hits return copies (~20 ms).
+        self.cache_blocks = cache_blocks
+        self._block_cache: Dict[str, tuple] = {}
 
         if subject_id is not None:
             m = load_scene_meta(root_fp, subject_id, model_dir)
@@ -142,13 +151,97 @@ class NeRFRegDataset:
     def __len__(self) -> int:
         return len(self.meta)
 
+    def _load_block_raw(self, paths: Dict):
+        """Decoded (grid, mask, masked-xyz centroid) for one block,
+        LRU-cached. The returned arrays are SHARED — callers that mutate
+        must copy."""
+        key = paths["voxel_grid_path"]
+        hit = self._block_cache.pop(key, None)
+        if hit is None:
+            grid = _load_torch_artifact(key).astype(np.float32)
+            mask_idx = _load_torch_artifact(
+                paths["voxel_mask_path"]).astype(np.int64)
+            r = grid.shape[0]
+            mask = np.zeros(r * r * r, bool)
+            mask[mask_idx] = True
+            centroid = grid.reshape(-1, 7)[mask, :3].mean(axis=0)
+            hit = (grid, mask, centroid)
+        self._block_cache[key] = hit  # re-insert = most recently used
+        while len(self._block_cache) > max(self.cache_blocks, 1):
+            self._block_cache.pop(next(iter(self._block_cache)))
+        return hit
+
     def _load_block(self, paths: Dict):
-        grid = _load_torch_artifact(paths["voxel_grid_path"]).astype(np.float32)
-        mask_idx = _load_torch_artifact(paths["voxel_mask_path"]).astype(np.int64)
-        r = grid.shape[0]
-        mask = np.zeros(r * r * r, bool)
-        mask[mask_idx] = True
-        return grid, mask
+        grid, mask, _ = self._load_block_raw(paths)
+        return grid.copy(), mask.copy()
+
+    def get_raw(self, index: int) -> Dict:
+        """Device-augmentation variant of __getitem__: returns the
+        UNAUGMENTED cached arrays (shared refs — do not mutate) plus an
+        `aug` dict of per-side 4x4 transforms for the trainer's in-jit
+        augmentation (`device_augment`). The random swap and the GT-pose
+        update happen here on the host; the xyz jitter and the rigid
+        perturbation of the grid itself happen on device.
+
+        Semantics delta vs __getitem__ (documented): the perturbation is
+        conjugated about the centroid of the RAW masked points, not the
+        jittered ones (the sigma-0.005 jitter moves the true centroid by
+        ~scale/sqrt(N) ~ 2e-5, far below voxel size); GT-pose consistency
+        is exact because the pose update uses the same conjugated matrix
+        the device applies.
+        """
+        scene = self.meta[index]
+        blocks = list(range(len(scene["blocks"])))
+        self.rng.shuffle(blocks)
+        src_b, tgt_b = scene["blocks"][blocks[0]], scene["blocks"][blocks[1]]
+        src_grid, src_mask, src_c = self._load_block_raw(src_b)
+        tgt_grid, tgt_mask, tgt_c = self._load_block_raw(tgt_b)
+        src_T = np.asarray(src_b["transform"], np.float64)
+        tgt_T = np.asarray(tgt_b["transform"], np.float64)
+        pose = (tgt_T @ np.linalg.inv(src_T)).astype(np.float32)
+
+        p_src = np.eye(4, dtype=np.float32)
+        p_tgt = np.eye(4, dtype=np.float32)
+        jitter = self.split == "train"
+        if self.split == "train":
+            perturb = _se3_small(self.rng, self.perturb_std)
+            perturb_source = self.rng.random() > 0.5
+            centroid = src_c if perturb_source else tgt_c
+            center = np.eye(4)
+            center[:3, 3] = -centroid
+            p = (np.linalg.inv(center) @ perturb @ center).astype(np.float32)
+            if perturb_source:
+                pose = (pose.astype(np.float64)
+                        @ np.linalg.inv(p.astype(np.float64))).astype(
+                            np.float32)
+                p_src = p
+            else:
+                pose = (p.astype(np.float64)
+                        @ pose.astype(np.float64)).astype(np.float32)
+                p_tgt = p
+
+        data = {
+            "src_grid": src_grid, "tgt_grid": tgt_grid,
+            "src_mask": src_mask, "tgt_mask": tgt_mask,
+            "src_nerf_path": src_b["model_path"],
+            "tgt_nerf_path": tgt_b["model_path"],
+            "src_ply_path": src_b.get("voxel_ply_path", ""),
+            "tgt_ply_path": tgt_b.get("voxel_ply_path", ""),
+            "src_cache_key": src_b["voxel_grid_path"],
+            "tgt_cache_key": tgt_b["voxel_grid_path"],
+            "pose": pose, "scene": scene["scene"], "index": index,
+            "block_list": blocks[:2],
+            "aug": {"p_src": p_src, "p_tgt": p_tgt, "jitter": jitter},
+        }
+        if self.split == "train" and self.rng.random() > 0.5:
+            for k in ("grid", "mask", "nerf_path", "ply_path", "cache_key"):
+                data[f"src_{k}"], data[f"tgt_{k}"] = (
+                    data[f"tgt_{k}"], data[f"src_{k}"])
+            data["aug"]["p_src"], data["aug"]["p_tgt"] = (
+                data["aug"]["p_tgt"], data["aug"]["p_src"])
+            data["pose"] = np.linalg.inv(
+                data["pose"].astype(np.float64)).astype(np.float32)
+        return data
 
     def __getitem__(self, index: int) -> Dict:
         scene = self.meta[index]
@@ -211,3 +304,31 @@ class NeRFRegDataset:
             for k in ("grid", "mask", "nerf_path", "ply_path"):
                 data[f"src_{k}"], data[f"tgt_{k}"] = data[f"tgt_{k}"], data[f"src_{k}"]
             data["pose"] = np.linalg.inv(data["pose"]).astype(np.float32)
+
+
+def device_augment(grid, mask, p, key, jitter_scale=0.005, jitter_clip=0.05):
+    """In-jit train augmentation for one side (pairs with `get_raw`).
+
+    Applies the masked xyz jitter and the (already centroid-conjugated)
+    rigid transform `p` to the xyz channels of a [R, R, R, 7] voxel grid
+    on device — the host path mutates numpy arrays per iteration
+    (reference dataset.py:287-323); this keeps the cached grids resident
+    on the chip and moves only the 4x4 matrices per step.
+
+    key=None skips the jitter (eval / deterministic use).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    r3 = mask.shape[0]
+    flat = grid.reshape(r3, 7)
+    xyz = flat[:, :3]
+    if key is not None:
+        noise = jnp.clip(
+            jax.random.normal(key, (r3, 3), dtype=jnp.float32) * jitter_scale,
+            -jitter_clip, jitter_clip,
+        )
+        xyz = xyz + noise * mask[:, None]
+    warped = xyz @ p[:3, :3].T + p[:3, 3]
+    xyz = jnp.where(mask[:, None], warped, xyz)
+    return jnp.concatenate([xyz, flat[:, 3:]], axis=-1).reshape(grid.shape)

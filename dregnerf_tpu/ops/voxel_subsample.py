@@ -140,6 +140,10 @@ def masked_select_first_k(
     come first in index order.
     """
     order = jnp.argsort(~flat_valid, stable=True)
+    if k > order.shape[0]:
+        # more slots than mask entries: pad (padded slots read index 0 and
+        # are marked invalid below — count can never reach them)
+        order = jnp.pad(order, (0, k - order.shape[0]))
     idx = order[:k]
     count = jnp.sum(flat_valid.astype(jnp.int32))
     valid = jnp.arange(k) < count

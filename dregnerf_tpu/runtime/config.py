@@ -92,6 +92,11 @@ def config_parser(argv=None) -> argparse.Namespace:
     parser.add_argument("--reg_batch_size", type=int, default=1,
                         help="pairs per registration train step (vmapped; "
                         "the reference trains at batch 1)")
+    parser.add_argument("--reg_device_cache", type=int, default=32,
+                        help="voxel-grid blocks kept resident in HBM for "
+                        "RegTr training (~60 MB each), with augmentation "
+                        "applied in-jit; 0 = reference-style host path "
+                        "(reload + re-upload per iteration)")
     parser.add_argument("--field", type=str, default="ngp",
                         choices=["ngp", "vanilla", "dnerf"],
                         help="radiance-field family (models/fields.py)")

@@ -249,6 +249,14 @@ class RegTrainer:
         self._vis_cache_size = int(getattr(config, "vis_cache_size", 8))
         self._vis_static = None  # (model_cfg, rcfg) from the first checkpoint
         self._exact_step_fn = None  # built lazily once _vis_static is known
+        # Device-resident voxel-grid cache + in-jit augmentation (pairs
+        # with NeRFRegDataset.get_raw/device_augment): the host path
+        # re-uploads ~117 MB of grids per iteration; this moves only the
+        # pose and two 4x4 matrices once a block is cached on the chip.
+        self._dev_cache: "OrderedDict[str, Any]" = OrderedDict()
+        self._dev_cache_size = int(getattr(config, "reg_device_cache", 32))
+        self._aug_key = jax.random.PRNGKey(config.seed + 77)
+        self._aug_step_fn = None  # built lazily
         self._step_fn = self._make_step_fn()
         self._eval_fn = self._make_eval_fn()
 
@@ -288,7 +296,6 @@ class RegTrainer:
         optimizer = self.optimizer
         batch_size = max(int(getattr(self.config, "reg_batch_size", 1)), 1)
 
-        @jax.jit
         def step(params, opt_state, batch):
             def loss_fn(p):
                 if batch_size == 1:
@@ -320,7 +327,48 @@ class RegTrainer:
             metrics = {**losses, "total": total, "R_error": rre, "t_error": rte}
             return params, opt_state, metrics
 
-        return step
+        self._reg_step_impl = step  # reused by the augmented-step variant
+        return jax.jit(step)
+
+    def _make_aug_step_fn(self):
+        """Train step over device-cached grids: in-jit augmentation
+        (jitter + per-side rigid transform from `get_raw`) then the same
+        loss/update body as `_step_fn`."""
+        from dregnerf_tpu.datasets.register_pairs import device_augment
+
+        impl = self._reg_step_impl
+        clip = float(getattr(self.train_dataset, "jitter_clip", 0.05))
+
+        @jax.jit
+        def aug_step(params, opt_state, batch, p_src, p_tgt, jitter_scale,
+                     key):
+            ks, kt = jax.random.split(key)
+            b = dict(batch)
+            b["src_grid"] = device_augment(
+                b["src_grid"], b["src_mask"], p_src, ks, jitter_scale, clip)
+            b["tgt_grid"] = device_augment(
+                b["tgt_grid"], b["tgt_mask"], p_tgt, kt, jitter_scale, clip)
+            return impl(params, opt_state, b)
+
+        return aug_step
+
+    def _to_device_cached(self, item: Dict) -> Dict[str, jnp.ndarray]:
+        """Batch for a `get_raw` item; grids/masks LRU-cached on device."""
+        def dev(ckey, grid, mask):
+            hit = self._dev_cache.pop(ckey, None)
+            if hit is None:
+                hit = (jnp.asarray(grid), jnp.asarray(mask))
+            self._dev_cache[ckey] = hit
+            while len(self._dev_cache) > max(self._dev_cache_size, 1):
+                self._dev_cache.popitem(last=False)
+            return hit
+
+        sg, sm = dev(item["src_cache_key"], item["src_grid"], item["src_mask"])
+        tg, tm = dev(item["tgt_cache_key"], item["tgt_grid"], item["tgt_mask"])
+        return {
+            "src_grid": sg, "src_mask": sm, "tgt_grid": tg, "tgt_mask": tm,
+            "pose": jnp.asarray(item["pose"]),
+        }
 
     def _get_vis_ctx(self, path: str):
         """LRU-cached (device-resident) VisibilityContext for one checkpoint.
@@ -445,6 +493,20 @@ class RegTrainer:
         return ev
 
     def train_iteration(self, item: Dict) -> Dict[str, float]:
+        if "aug" in item:  # device-cached path (get_raw items)
+            batch = self._to_device_cached(item)
+            if self._aug_step_fn is None:
+                self._aug_step_fn = self._make_aug_step_fn()
+            aug = item["aug"]
+            js = (float(getattr(self.train_dataset, "jitter_scale", 0.005))
+                  if aug.get("jitter", True) else 0.0)
+            self.params, self.opt_state, metrics = self._aug_step_fn(
+                self.params, self.opt_state, batch,
+                jnp.asarray(aug["p_src"]), jnp.asarray(aug["p_tgt"]),
+                jnp.float32(js),
+                jax.random.fold_in(self._aug_key, self.iteration),
+            )
+            return metrics
         batch = self._to_device(item)
         if getattr(self, "visibility", "grid") == "exact":
             src_ctx = self._get_vis_ctx(item["src_nerf_path"])
@@ -486,6 +548,19 @@ class RegTrainer:
                     f"[reg_trainer] dropping {dropped}/{n_pairs} remainder "
                     f"pairs per epoch (batch size {bsz})", flush=True,
                 )
+        use_raw = (
+            bsz == 1
+            and getattr(self, "visibility", "grid") != "exact"
+            and getattr(self, "mesh", None) is None
+            and self._dev_cache_size > 0
+            and hasattr(self.train_dataset, "get_raw")
+        )
+        fetch = (self.train_dataset.get_raw if use_raw
+                 else self.train_dataset.__getitem__)
+        if use_raw:
+            print("[reg_trainer] device-resident grid cache on "
+                  f"(<= {self._dev_cache_size} blocks, in-jit augmentation)",
+                  flush=True)
         while self.iteration < max_iterations:
             order = rng.permutation(len(self.train_dataset))
             if bsz > 1:
@@ -500,7 +575,7 @@ class RegTrainer:
                     )
                 else:
                     metrics = run_with_retries(
-                        lambda i=i: self.train_iteration(self.train_dataset[int(i)]),
+                        lambda i=i: self.train_iteration(fetch(int(i))),
                         on_failure=lambda exc: self.save_checkpoint(),
                     )
                 self.iteration += 1

@@ -173,6 +173,74 @@ class TestPairDataset:
         d = np.linalg.norm(warped[:, None] - tgt_pts[None], axis=-1).min(1)
         assert np.median(d) < 0.4
 
+    def test_device_augment_matches_host_algebra(self, pair_root):
+        """device_augment(grid, mask, p, key=None) must equal the host
+        _rigid_perturb xyz math for a given conjugated matrix p, and
+        leave unmasked rows and non-xyz channels untouched."""
+        import jax.numpy as jnp
+
+        from dregnerf_tpu.datasets.register_pairs import (NeRFRegDataset,
+                                                          device_augment)
+
+        root, scene, _ = pair_root
+        ds = NeRFRegDataset(root, subject_id=scene, split="test")
+        grid, mask, _c = ds._load_block_raw(ds.meta[0]["blocks"][0])
+        rng = np.random.default_rng(5)
+        from dregnerf_tpu.datasets.register_pairs import _se3_small
+
+        p = _se3_small(rng, 0.1).astype(np.float32)
+
+        out = np.asarray(device_augment(
+            jnp.asarray(grid), jnp.asarray(mask), jnp.asarray(p), None))
+        flat_in, flat_out = grid.reshape(-1, 7), out.reshape(-1, 7)
+        expect = flat_in[mask, :3] @ p[:3, :3].T + p[:3, 3]
+        np.testing.assert_allclose(flat_out[mask, :3], expect, atol=1e-5)
+        np.testing.assert_array_equal(flat_out[~mask], flat_in[~mask])
+        np.testing.assert_array_equal(flat_out[:, 3:], flat_in[:, 3:])
+
+    def test_get_raw_pose_consistency_after_device_augment(self, pair_root):
+        """get_raw's updated GT pose must align the device-augmented src
+        cloud with the device-augmented tgt cloud (the device-path analog
+        of test_train_augmentation_consistency)."""
+        import jax
+        import jax.numpy as jnp
+
+        from dregnerf_tpu.datasets.register_pairs import (NeRFRegDataset,
+                                                          device_augment)
+
+        root, scene, _ = pair_root
+        ds = NeRFRegDataset(root, subject_id=scene, split="train", seed=3)
+        item = ds.get_raw(0)
+        ks, kt = jax.random.split(jax.random.PRNGKey(0))
+        src = np.asarray(device_augment(
+            jnp.asarray(item["src_grid"]), jnp.asarray(item["src_mask"]),
+            jnp.asarray(item["aug"]["p_src"]), ks))
+        tgt = np.asarray(device_augment(
+            jnp.asarray(item["tgt_grid"]), jnp.asarray(item["tgt_mask"]),
+            jnp.asarray(item["aug"]["p_tgt"]), kt))
+        src_pts = src.reshape(-1, 7)[item["src_mask"], :3]
+        tgt_pts = tgt.reshape(-1, 7)[item["tgt_mask"], :3]
+        pose = item["pose"]
+        warped = src_pts @ pose[:3, :3].T + pose[:3, 3]
+        d = np.linalg.norm(warped[:, None] - tgt_pts[None], axis=-1).min(1)
+        assert np.median(d) < 0.4
+
+    def test_block_cache_is_never_mutated_by_augmentation(self, pair_root):
+        """__getitem__ jitters/perturbs IN PLACE; the LRU block cache must
+        hand out copies so train-time augmentation never accumulates into
+        the cached arrays across iterations."""
+        from dregnerf_tpu.datasets.register_pairs import NeRFRegDataset
+
+        root, scene, _ = pair_root
+        ds = NeRFRegDataset(root, subject_id=scene, split="train", seed=3)
+        paths = ds.meta[0]["blocks"][0]
+        pristine = ds._load_block_raw(paths)[0].copy()
+        for _ in range(3):
+            ds[0]  # augments (mutates its returned arrays)
+        cached = ds._load_block_raw(paths)[0]
+        np.testing.assert_array_equal(cached, pristine)
+        assert len(ds._block_cache) <= ds.cache_blocks
+
 
 class TestRegTrainerLoop:
     @pytest.fixture(scope="class")
@@ -222,6 +290,12 @@ class TestRegTrainerLoop:
         tr.setup_optimizer()
         tr.iteration = 0
         tr._log_file = open(os.path.join(tr.output_dir, "log.txt"), "a")
+        from collections import OrderedDict
+
+        tr._dev_cache = OrderedDict()
+        tr._dev_cache_size = 8
+        tr._aug_key = jax.random.PRNGKey(7)
+        tr._aug_step_fn = None
         tr._step_fn = tr._make_step_fn()
         tr._eval_fn = tr._make_eval_fn()
         return tr
@@ -240,6 +314,38 @@ class TestRegTrainerLoop:
         m = trainer.train_iteration(trainer.train_dataset[0])
         for k in ("overlap", "nerf_cont", "feature", "corr", "total", "R_error"):
             assert k in m
+
+    def test_device_cached_step_matches_host_step(self, trainer):
+        """On an unaugmented pair (test split: identity transforms, no
+        jitter) the device-cached augmented-step program must produce the
+        same losses/updates as the host-path step."""
+        import jax
+        import jax.numpy as jnp
+
+        ds = trainer.val_dataset
+        ds.rng = np.random.default_rng(0)
+        item_h = ds[0]
+        ds.rng = np.random.default_rng(0)
+        item_d = ds.get_raw(0)
+        assert item_d["aug"]["jitter"] is False
+        np.testing.assert_array_equal(item_h["pose"], item_d["pose"])
+
+        p0, s0 = trainer.params, trainer.opt_state
+        _, _, m_h = trainer._step_fn(p0, s0, trainer._to_device(item_h))
+        if trainer._aug_step_fn is None:
+            trainer._aug_step_fn = trainer._make_aug_step_fn()
+        batch = trainer._to_device_cached(item_d)
+        _, _, m_d = trainer._aug_step_fn(
+            p0, s0, batch,
+            jnp.asarray(item_d["aug"]["p_src"]),
+            jnp.asarray(item_d["aug"]["p_tgt"]),
+            jnp.float32(0.0), jax.random.PRNGKey(0),
+        )
+        assert len(trainer._dev_cache) == 2  # both blocks resident
+        for k in m_h:
+            np.testing.assert_allclose(
+                float(m_h[k]), float(m_d[k]), rtol=1e-4, atol=1e-5,
+                err_msg=k)
 
     def test_validate_and_checkpoint(self, trainer):
         score = trainer.validate(fraction=1.0)

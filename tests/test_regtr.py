@@ -86,6 +86,16 @@ class TestMaskedSelect:
         assert valid.all()
         np.testing.assert_array_equal(np.asarray(idx), [0, 1, 2, 3])
 
+    def test_k_larger_than_mask_pads_invalid(self):
+        """k > len(mask) (e.g. max_input_points > R^3 on small grids) must
+        keep idx and valid at the same static length k."""
+        mask = jnp.array([False, True, True])
+        idx, valid = masked_select_first_k(mask, 8)
+        assert idx.shape == (8,) and valid.shape == (8,)
+        np.testing.assert_array_equal(np.asarray(idx[:2]), [1, 2])
+        np.testing.assert_array_equal(
+            np.asarray(valid), [True, True] + [False] * 6)
+
 
 class TestTransformer:
     def test_cross_encoder_shapes_and_masking(self, key, rng):
