@@ -65,11 +65,13 @@ class PackedGridConfig:
     log2_table_size: int = 19
     base_resolution: int = 16
     per_level_scale: float = 2.1
-    # table-gradient scatter-add accumulator dtype: "f32" (exact) or
+    # table-gradient scatter-add accumulator: "f32" (exact XLA scatter),
     # "bf16" (2.9x faster scatter on v5e — 7.1 vs 20.8 ms per wrapped
     # level, probe_train_bwd.py; tcnn accumulates its hash-table grads in
     # fp16, so reduced-precision accumulation is the reference's own
-    # design). Quality-gated before becoming default.
+    # design), or "pallas" (bucketed VMEM-resident accumulate,
+    # ops/pallas_scatter.py — exact f32 numerics; gate on the fused step
+    # before defaulting). Quality-gated before becoming default.
     grad_accum: str = "f32"
     # run-length compression of the table-gradient scatter (ops/rle.py):
     # marched samples are ray-coherent, so coarse levels see runs of equal
@@ -162,6 +164,33 @@ def _grb_bwd(res, g):
 gather_rows_bf16_accum.defvjp(_grb_fwd, _grb_bwd)
 
 
+import functools as _functools  # noqa: E402
+
+
+@_functools.lru_cache(maxsize=None)
+def _gather_rows_pallas(table_rows: int):
+    """gather_rows with the bucketed Pallas scatter backward
+    (ops/pallas_scatter.py): rows sorted by table shard, then a serial
+    f32 accumulate over VMEM-resident output blocks — exact f32 numerics
+    at (bet: better-than-)bf16-scatter speed."""
+    from dregnerf_tpu.ops.pallas_scatter import bucketed_scatter_add
+
+    @jax.custom_vjp
+    def f(table, idx):
+        return table[idx]
+
+    def fwd(table, idx):
+        return table[idx], idx
+
+    def bwd(idx, g):
+        acc = bucketed_scatter_add(
+            idx, g.astype(jnp.float32), table_rows=table_rows)
+        return acc, None
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 RLE_MIN_RUN = 4.0  # expected steps-per-cell below which RLE can't win
 _RLE_SAFETY = 2.0  # heuristic max_runs = safety * expected runs
 
@@ -173,9 +202,6 @@ def rle_expected_run(config: PackedGridConfig, level: int) -> float:
         return 0.0
     scale = float(config.level_scales()[level])
     return 1.0 / (config.rle_step_u * scale * 1.7320508)
-
-
-import functools as _functools
 
 
 @_functools.lru_cache(maxsize=None)
@@ -277,13 +303,18 @@ def packed_encode(
     gather = (
         gather_rows_bf16_accum if config.grad_accum == "bf16" else gather_rows
     )
+    sizes = config.level_table_sizes()
     outs = []
     for l in range(L):
         slot = (lin[:, l] & t_pow2) if wrapped[l] else lin[:, l]
         exp_run = rle_expected_run(config, l)
         if exp_run >= RLE_MIN_RUN:
             max_runs = min(n, int(_RLE_SAFETY * n / exp_run))
-            g = _gather_rows_rle(max_runs, config.grad_accum)
+            # pallas accumulates exact f32 — match it in the RLE levels
+            rle_accum = "f32" if config.grad_accum != "bf16" else "bf16"
+            g = _gather_rows_rle(max_runs, rle_accum)
+        elif config.grad_accum == "pallas":
+            g = _gather_rows_pallas(int(sizes[l]))
         else:
             g = gather
         # one gather per (point, level)

@@ -113,12 +113,14 @@ def config_parser(argv=None) -> argparse.Namespace:
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--no_bf16", dest="bf16", action="store_false")
     parser.add_argument("--grad_accum", type=str, default="bf16",
-                        choices=["f32", "bf16"],
+                        choices=["f32", "bf16", "pallas"],
                         help="NGP table-gradient scatter accumulator. "
                         "Default bf16 = tcnn-style reduced-precision "
                         "accumulation (the reference's own design; ~2.9x "
                         "faster scatter, 0.07 dB on the 1500-step gate). "
-                        "f32 = exact accumulation.")
+                        "f32 = exact accumulation via XLA scatter; pallas "
+                        "= exact f32 via the bucketed VMEM kernel "
+                        "(ops/pallas_scatter.py).")
     parser.add_argument("--rle_backward", action="store_true",
                         help="run-length-compress the table-gradient "
                         "scatter at coarse encoder levels (ops/rle.py; "

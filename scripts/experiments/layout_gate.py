@@ -75,6 +75,13 @@ _ALL = {
                                  rle_step_u=_STEP_U),
     "L4F8": PackedGridConfig(n_levels=4, n_features=8, per_level_scale=5.66,
                              grad_accum="bf16"),
+    # bucketed Pallas VMEM scatter backward (exact f32; ops/pallas_scatter)
+    "L8F4_pallas": PackedGridConfig(n_levels=8, n_features=4,
+                                    per_level_scale=2.1,
+                                    grad_accum="pallas"),
+    "L4F8_pallas": PackedGridConfig(n_levels=4, n_features=8,
+                                    per_level_scale=5.66,
+                                    grad_accum="pallas"),
 }
 _SEL = os.environ.get("LAYOUT_GATE_CONFIGS", "")
 CONFIGS = {k: _ALL[k] for k in _SEL.split(",")} if _SEL else _ALL
@@ -92,6 +99,17 @@ def main():
 
     results = {}
     for name, grid_cfg in CONFIGS.items():
+        try:
+            results[name] = _run_config(name, grid_cfg, data_root, tr, te)
+        except Exception as e:  # noqa: BLE001 — isolate per-config failures
+            results[name] = {"layout": name, "error":
+                             f"{type(e).__name__}: {str(e)[:300]}"}
+            print(json.dumps(results[name]), flush=True)
+    _write(results)
+
+
+def _run_config(name, grid_cfg, data_root, tr, te):
+    if True:  # keep original indentation below
         out_dir = os.path.join(WORK, "out", name)
         ckpt = os.path.join(out_dir, "model", "model.ckpt")
         rec = {"layout": name, "iters": ITERS,
@@ -124,9 +142,11 @@ def main():
             trainer.train()
             rec["train_s"] = round(time.time() - t0, 1)
         rec.update(checkpoint_metrics(ckpt, te, tr))
-        results[name] = rec
         print(json.dumps(rec), flush=True)
+        return rec
 
+
+def _write(results):
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), "experiments", "stage3",
         "layout_gate.json")

@@ -130,82 +130,9 @@ def xla_sorted_scatter_add(idx, src, table_rows):
     )
 
 
-def _bucketed_kernel(off_ref, idx_ref, src_hbm, out_ref, scratch, sem, *,
-                     chunk, shard_rows):
-    """Rows pre-sorted by shard: each grid step visits ONLY its own rows
-    (serial loop totals N across all shards, not N * n_shards)."""
-    shard = pl.program_id(0)
-    base = shard * shard_rows
-    out_ref[:] = jnp.zeros_like(out_ref)
-    start = off_ref[shard]
-    end = off_ref[shard + 1]
-    n_chunks = (end - start + chunk - 1) // chunk
-
-    def chunk_body(c, _):
-        c0 = start + c * chunk
-        dma = pltpu.make_async_copy(
-            src_hbm.at[pl.ds(c0, chunk), :], scratch, sem)
-        dma.start()
-        dma.wait()
-
-        def row_body(i, _):
-            g = c0 + i
-
-            @pl.when(g < end)
-            def _():
-                local = idx_ref[g] - base
-                out_ref[pl.ds(local, 1), :] += scratch[pl.ds(i, 1), :].astype(
-                    out_ref.dtype)
-
-            return 0
-
-        jax.lax.fori_loop(0, chunk, row_body, 0)
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("table_rows", "shard_rows", "chunk",
-                              "interpret"))
-def pallas_bucketed_scatter_add(idx, src, *, table_rows, shard_rows=16384,
-                                chunk=2048, interpret=False):
-    n, w = src.shape
-    n_shards = table_rows // shard_rows
-    shard_id = idx // shard_rows
-    order = jnp.argsort(shard_id)
-    idx_sorted = idx[order]
-    src_sorted = src[order]
-    counts = jnp.bincount(shard_id, length=n_shards)
-    offsets = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
-    # pad so the fixed-size chunk DMA at a shard's tail stays in bounds
-    idx_sorted = jnp.pad(idx_sorted, (0, chunk))
-    src_sorted = jnp.pad(src_sorted, ((0, chunk), (0, 0)))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # offsets, idx_sorted
-        grid=(n_shards,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (shard_rows, w), lambda s, off_ref, idx_ref: (s, 0),
-            memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((chunk, w), src.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
-    kernel = functools.partial(
-        _bucketed_kernel, chunk=chunk, shard_rows=shard_rows)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((table_rows, w), jnp.bfloat16),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(2.0 * (shard_rows + chunk) * w * 4),
-        ),
-    )(offsets, idx_sorted, src_sorted)
+# bucketed variant lives in the library (integrated as --grad_accum pallas)
+from dregnerf_tpu.ops.pallas_scatter import (  # noqa: E402
+    bucketed_scatter_add as pallas_bucketed_scatter_add)
 
 
 def make_coherent_idx(key, n, table_rows, run=1.0):

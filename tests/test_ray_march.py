@@ -594,6 +594,52 @@ def test_bf16_grad_accum_close_to_f32(key):
         np.asarray(g16), np.asarray(g32), atol=0.02 * denom)
 
 
+def test_pallas_grad_accum_matches_f32(key):
+    """grad_accum='pallas' (bucketed VMEM scatter, interpret mode on CPU)
+    must match the exact f32 XLA scatter to summation-order tolerance."""
+    import numpy as np
+
+    from dregnerf_tpu.ops import packed_grid as PG
+
+    base = dict(n_levels=2, log2_table_size=10, base_resolution=4,
+                per_level_scale=2.0)
+    cfg32 = PG.PackedGridConfig(**base)
+    cfgp = PG.PackedGridConfig(**base, grad_accum="pallas")
+    v = PG.init_packed_grid(key, cfg32) * 1000.0
+    x = jax.random.uniform(jax.random.fold_in(key, 1), (512, 3))
+
+    def loss(table, cfg):
+        p = PG.pack_table(table, cfg)
+        return jnp.sum(PG.packed_encode(p, x, cfg) ** 2)
+
+    g32 = jax.grad(lambda t: loss(t, cfg32))(v)
+    gp = jax.grad(lambda t: loss(t, cfgp))(v)
+    assert gp.dtype == jnp.float32
+    denom = np.abs(np.asarray(g32)).max()
+    np.testing.assert_allclose(
+        np.asarray(gp), np.asarray(g32), atol=1e-4 * denom)
+
+
+def test_bucketed_scatter_add_unit():
+    """ops/pallas_scatter.bucketed_scatter_add == .at[idx].add, including
+    non-shard-divisible table sizes and empty shards."""
+    import numpy as np
+
+    from dregnerf_tpu.ops.pallas_scatter import bucketed_scatter_add
+
+    rng = np.random.default_rng(0)
+    for t, shard, chunk in [(4913, 1024, 64), (4096, 512, 128),
+                            (300, 4096, 64)]:
+        idx = jnp.asarray(rng.integers(0, t, size=1000), jnp.int32)
+        src = jnp.asarray(rng.normal(size=(1000, 8)), jnp.float32)
+        ref = jnp.zeros((t, 8), jnp.float32).at[idx].add(src)
+        out = bucketed_scatter_add(
+            idx, src, table_rows=t, shard_rows=shard, chunk=chunk)
+        assert out.shape == (t, 8)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
 def test_capped_k512_equals_compact_under_buffer_cut(key):
     """Round-3 trainer default: with k_cap >= every ray's survivor count,
     capped == compact EXACTLY even when the shared buffer cut is active
