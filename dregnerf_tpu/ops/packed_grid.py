@@ -69,9 +69,13 @@ class PackedGridConfig:
     # "bf16" (2.9x faster scatter on v5e — 7.1 vs 20.8 ms per wrapped
     # level, probe_train_bwd.py; tcnn accumulates its hash-table grads in
     # fp16, so reduced-precision accumulation is the reference's own
-    # design), or "pallas" (bucketed VMEM-resident accumulate,
-    # ops/pallas_scatter.py — exact f32 numerics; gate on the fused step
-    # before defaulting). Quality-gated before becoming default.
+    # design), "sorted"/"sorted_bf16" (argsort + indices_are_sorted hint:
+    # the scatter stops being a serial row loop — 503 M rows/s vs 1.2 on
+    # random indices, probe_pallas_scatter.py; "sorted" keeps exact f32
+    # sums), or "pallas" (bucketed VMEM-resident accumulate,
+    # ops/pallas_scatter.py — exact f32 numerics; mosaic rejects it
+    # through the axon tunnel as of round 3). Quality-gated before
+    # becoming default.
     grad_accum: str = "f32"
     # run-length compression of the table-gradient scatter (ops/rle.py):
     # marched samples are ray-coherent, so coarse levels see runs of equal
@@ -191,6 +195,41 @@ def _gather_rows_pallas(table_rows: int):
     return f
 
 
+@_functools.lru_cache(maxsize=None)
+def _gather_rows_sorted(accum: str):
+    """gather_rows with an argsort + `indices_are_sorted` scatter backward.
+
+    Round-3 probe (probe_pallas_scatter.py, v5e trainer shapes
+    2^18 rows -> 2^19x32): XLA's scatter-add is a serial row loop ONLY
+    when it cannot prove index monotonicity — sorting the indices and
+    passing indices_are_sorted=True collapses 214.7 ms to 0.52 ms
+    (503 M rows/s) on random indices. The round-2 sort-based backward
+    (gather_rows docstring) lost because it sorted WITHOUT the hint, so
+    the scatter stayed serial and the argsorts were pure overhead.
+    `accum="f32"` keeps exact f32 numerics (sums merely reordered);
+    `accum="bf16"` matches the tcnn-style reduced-precision accumulator.
+    """
+
+    @jax.custom_vjp
+    def f(table, idx):
+        return table[idx]
+
+    def fwd(table, idx):
+        return table[idx], (idx, table.shape)
+
+    def bwd(res, g):
+        idx, shape = res
+        order = jnp.argsort(idx)
+        dt = jnp.bfloat16 if accum == "bf16" else jnp.float32
+        acc = jnp.zeros(shape, dt).at[idx[order]].add(
+            g[order].astype(dt), indices_are_sorted=True
+        )
+        return acc.astype(jnp.float32), None
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 RLE_MIN_RUN = 4.0  # expected steps-per-cell below which RLE can't win
 _RLE_SAFETY = 2.0  # heuristic max_runs = safety * expected runs
 
@@ -300,9 +339,14 @@ def packed_encode(
         axis=-1,
     )  # [N, L, 8]
 
-    gather = (
-        gather_rows_bf16_accum if config.grad_accum == "bf16" else gather_rows
-    )
+    if config.grad_accum == "bf16":
+        gather = gather_rows_bf16_accum
+    elif config.grad_accum == "sorted":
+        gather = _gather_rows_sorted("f32")
+    elif config.grad_accum == "sorted_bf16":
+        gather = _gather_rows_sorted("bf16")
+    else:
+        gather = gather_rows
     sizes = config.level_table_sizes()
     outs = []
     for l in range(L):

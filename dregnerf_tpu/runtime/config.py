@@ -113,14 +113,19 @@ def config_parser(argv=None) -> argparse.Namespace:
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--no_bf16", dest="bf16", action="store_false")
     parser.add_argument("--grad_accum", type=str, default="bf16",
-                        choices=["f32", "bf16", "pallas"],
+                        choices=["f32", "bf16", "sorted", "sorted_bf16",
+                                 "pallas"],
                         help="NGP table-gradient scatter accumulator. "
-                        "Default bf16 = tcnn-style reduced-precision "
+                        "bf16 = tcnn-style reduced-precision "
                         "accumulation (the reference's own design; ~2.9x "
                         "faster scatter, 0.07 dB on the 1500-step gate). "
-                        "f32 = exact accumulation via XLA scatter; pallas "
-                        "= exact f32 via the bucketed VMEM kernel "
-                        "(ops/pallas_scatter.py).")
+                        "f32 = exact accumulation via XLA scatter; "
+                        "sorted/sorted_bf16 = argsort + indices_are_sorted "
+                        "scatter (unserializes XLA's scatter loop — 503 M "
+                        "rows/s vs 1.2 on random indices, "
+                        "probe_pallas_scatter.py; 'sorted' keeps exact f32 "
+                        "sums); pallas = exact f32 via the bucketed VMEM "
+                        "kernel (ops/pallas_scatter.py).")
     parser.add_argument("--rle_backward", action="store_true",
                         help="run-length-compress the table-gradient "
                         "scatter at coarse encoder levels (ops/rle.py; "

@@ -111,6 +111,13 @@ def main(only):
         "base": dict(mode="capped"),
         "kcap64": dict(mode="capped", k_cap=64),
         "kcap64_bf16": dict(mode="capped", k_cap=64, accum="bf16"),
+        "bf16": dict(mode="capped", accum="bf16"),
+        # round-3 sorted-hint scatter backward (probe_pallas_scatter.py):
+        # exact-f32 sums at (bet) bf16-beating speed
+        "sorted": dict(mode="capped", accum="sorted"),
+        "sorted_bf16": dict(mode="capped", accum="sorted_bf16"),
+        "kcap64_sorted": dict(mode="capped", k_cap=64, accum="sorted"),
+        "compact_sorted": dict(mode="compact", accum="sorted"),
         "kcap64_micro2": dict(mode="capped", k_cap=64, micro=2),
         "kcap64_micro4": dict(mode="capped", k_cap=64, micro=4),
         "kcap64_bf16_micro2": dict(mode="capped", k_cap=64, accum="bf16", micro=2),

@@ -594,6 +594,37 @@ def test_bf16_grad_accum_close_to_f32(key):
         np.asarray(g16), np.asarray(g32), atol=0.02 * denom)
 
 
+def test_sorted_grad_accum_matches_f32(key):
+    """grad_accum='sorted' (argsort + indices_are_sorted scatter,
+    probe_pallas_scatter.py) computes the SAME f32 sums as the plain
+    scatter up to summation order; 'sorted_bf16' tracks the bf16 path."""
+    import numpy as np
+
+    from dregnerf_tpu.ops import packed_grid as PG
+
+    base = dict(n_levels=2, log2_table_size=10, base_resolution=4,
+                per_level_scale=2.0)
+    cfg32 = PG.PackedGridConfig(**base)
+    v = PG.init_packed_grid(key, cfg32) * 1000.0
+    x = jax.random.uniform(jax.random.fold_in(key, 1), (512, 3))
+
+    def loss(table, cfg):
+        p = PG.pack_table(table, cfg)
+        return jnp.sum(PG.packed_encode(p, x, cfg) ** 2)
+
+    g32 = jax.grad(lambda t: loss(t, cfg32))(v)
+    gs = jax.grad(lambda t: loss(
+        t, PG.PackedGridConfig(**base, grad_accum="sorted")))(v)
+    assert gs.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(g32),
+                               rtol=1e-5, atol=1e-6)
+    gsb = jax.grad(lambda t: loss(
+        t, PG.PackedGridConfig(**base, grad_accum="sorted_bf16")))(v)
+    denom = np.abs(np.asarray(g32)).max()
+    np.testing.assert_allclose(np.asarray(gsb), np.asarray(g32),
+                               atol=0.02 * denom)
+
+
 def test_pallas_grad_accum_matches_f32(key):
     """grad_accum='pallas' (bucketed VMEM scatter, interpret mode on CPU)
     must match the exact f32 XLA scatter to summation-order tolerance."""
