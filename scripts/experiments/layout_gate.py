@@ -100,7 +100,7 @@ def main():
     results = {}
     for name, grid_cfg in CONFIGS.items():
         try:
-            results[name] = _run_config(name, grid_cfg, data_root, tr, te)
+            results[name] = _run_config(name, grid_cfg, data_root, scene, tr, te)
         except Exception as e:  # noqa: BLE001 — isolate per-config failures
             results[name] = {"layout": name, "error":
                              f"{type(e).__name__}: {str(e)[:300]}"}
@@ -108,7 +108,7 @@ def main():
     _write(results)
 
 
-def _run_config(name, grid_cfg, data_root, tr, te):
+def _run_config(name, grid_cfg, data_root, scene, tr, te):
     if True:  # keep original indentation below
         out_dir = os.path.join(WORK, "out", name)
         ckpt = os.path.join(out_dir, "model", "model.ckpt")
