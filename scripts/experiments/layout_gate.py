@@ -75,6 +75,11 @@ _ALL = {
                                  rle_step_u=_STEP_U),
     "L4F8": PackedGridConfig(n_levels=4, n_features=8, per_level_scale=5.66,
                              grad_accum="bf16"),
+    # L4F8 coarse-level run lengths at this step size are ~74/13 samples
+    # per cell — the strongest RLE compression of any layout
+    "L4F8_rle": PackedGridConfig(n_levels=4, n_features=8,
+                                 per_level_scale=5.66, grad_accum="bf16",
+                                 rle_step_u=_STEP_U),
     # bucketed Pallas VMEM scatter backward (exact f32; ops/pallas_scatter)
     "L8F4_pallas": PackedGridConfig(n_levels=8, n_features=4,
                                     per_level_scale=2.1,
