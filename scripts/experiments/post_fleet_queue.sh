@@ -7,10 +7,14 @@
 #
 # Queue (by round-3 value):
 #   1. layout_gate.py         — encoder-layout + RLE race at data scale
-#   2. probe_pallas_scatter   — Pallas serial-accumulate scatter measure
-#   3. visibility_effect.py   — grid-vs-exact converged-RRE effect
+#   2. visibility_effect.py   — grid-vs-exact converged-RRE effect
 #                               (skipped if the fleet left no stage-3 ckpt)
-#   4. probe_regtr_step.py    — RegTr step decomposition
+#   3. probe_regtr_step.py    — RegTr step decomposition
+#   4. probe_render_parts.py  — march/shade decomposition at bench shapes
+#                               (render-ceiling irreducibility evidence)
+# (probe_pallas_scatter ran pre-fleet this round: /tmp/probe_scatter.log —
+#  all Pallas scatter variants fail remote mosaic compile, HTTP 500;
+#  sorted-hint XLA results are recorded in the packed_grid docstring.)
 #
 # Usage: setsid nohup bash scripts/experiments/post_fleet_queue.sh \
 #            > /tmp/post_fleet.log 2>&1 &
@@ -32,8 +36,7 @@ run() {
   echo "[queue] rc=$? ($(date +%H:%M:%S))"
 }
 
-run 5400 python -u scripts/experiments/layout_gate.py
-run 1800 python -u scripts/perf/probe_pallas_scatter.py
+run 9000 python -u scripts/experiments/layout_gate.py
 
 if [ -f /tmp/stage3_fleet/regout/stage3/model/model.ckpt ] \
     || ls /tmp/stage3_fleet/regout/stage3/model/*.ckpt >/dev/null 2>&1; then
@@ -43,4 +46,5 @@ else
 fi
 
 run 2700 python -u scripts/perf/probe_regtr_step.py
+run 2400 python -u scripts/perf/probe_render_parts.py
 echo "[queue] DONE ($(date +%H:%M:%S))"
