@@ -36,6 +36,9 @@ run() {
   echo "[queue] rc=$? ($(date +%H:%M:%S))"
 }
 
+# validate the driver's headline artifact first (train/extract metrics are
+# new this round; a crash here must be found while there is time to fix)
+run 1800 python -u bench.py
 run 9000 python -u scripts/experiments/layout_gate.py
 
 if [ -f /tmp/stage3_fleet/regout/stage3/model/model.ckpt ] \
