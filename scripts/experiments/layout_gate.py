@@ -59,10 +59,21 @@ IMG_SIZE = int(os.environ.get("LAYOUT_GATE_IMG", 192))
 # (diag*sqrt(3)... see ngp_trainer.build_networks): 2*sqrt(3)/1024 / 2
 _STEP_U = float(np.sqrt(3.0) / 1024.0)
 
+# Ordered by decision value: the queue bounds this script with `timeout`
+# and results are written incrementally, so a mid-run kill keeps the
+# highest-value comparisons (incumbent baseline first, then the strongest
+# challenger layouts, then the long-shot Pallas variants).
 _ALL = {
-    # incumbent (round-3 default)
+    # incumbent (round-3 default) — the comparison baseline at data scale
     "L8F4": PackedGridConfig(n_levels=8, n_features=4, per_level_scale=2.1,
                              grad_accum="bf16"),
+    "L4F8": PackedGridConfig(n_levels=4, n_features=8, per_level_scale=5.66,
+                             grad_accum="bf16"),
+    # L4F8 coarse-level run lengths at this step size are ~74/13 samples
+    # per cell — the strongest RLE compression of any layout
+    "L4F8_rle": PackedGridConfig(n_levels=4, n_features=8,
+                                 per_level_scale=5.66, grad_accum="bf16",
+                                 rle_step_u=_STEP_U),
     # + run-length-compressed scatter at coarse levels (expected runs
     # 22.8/10.5/4.9 for levels 0-2 at this step size)
     "L8F4_rle": PackedGridConfig(n_levels=8, n_features=4,
@@ -73,14 +84,9 @@ _ALL = {
     "L6F6_rle": PackedGridConfig(n_levels=6, n_features=6,
                                  per_level_scale=2.83, grad_accum="bf16",
                                  rle_step_u=_STEP_U),
-    "L4F8": PackedGridConfig(n_levels=4, n_features=8, per_level_scale=5.66,
-                             grad_accum="bf16"),
-    # L4F8 coarse-level run lengths at this step size are ~74/13 samples
-    # per cell — the strongest RLE compression of any layout
-    "L4F8_rle": PackedGridConfig(n_levels=4, n_features=8,
-                                 per_level_scale=5.66, grad_accum="bf16",
-                                 rle_step_u=_STEP_U),
     # bucketed Pallas VMEM scatter backward (exact f32; ops/pallas_scatter)
+    # — expected to fail remote mosaic compile (HTTP 500, probe_scatter);
+    # kept last as a cheap retest in case the tunnel's mosaic path works now
     "L8F4_pallas": PackedGridConfig(n_levels=8, n_features=4,
                                     per_level_scale=2.1,
                                     grad_accum="pallas"),
@@ -110,7 +116,9 @@ def main():
             results[name] = {"layout": name, "error":
                              f"{type(e).__name__}: {str(e)[:300]}"}
             print(json.dumps(results[name]), flush=True)
-    _write(results)
+        # write after EVERY config: the queue bounds this script with
+        # `timeout`, and a mid-run kill must not lose completed configs
+        _write(results)
 
 
 def _run_config(name, grid_cfg, data_root, scene, tr, te):
