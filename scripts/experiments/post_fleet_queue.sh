@@ -59,6 +59,11 @@ run() {
 run 1800 python -u bench.py
 run 7200 python -u scripts/experiments/layout_gate.py
 
+# cheap march/shade decomposition BEFORE the long visibility run: it is
+# the render-ceiling irreducibility evidence (VERDICT r2 #4) and fits in
+# minutes, while visibility_effect's exact-ft tail can eat an hour
+run 1800 python -u scripts/perf/probe_render_parts.py
+
 if [ -f /tmp/stage3_fleet/regout/stage3/model/model.ckpt ] \
     || ls /tmp/stage3_fleet/regout/stage3/model/*.ckpt >/dev/null 2>&1; then
   export VISFX_ITERS="${VISFX_ITERS:-300}"
@@ -68,5 +73,4 @@ else
 fi
 
 run 1800 python -u scripts/perf/probe_regtr_step.py
-run 1800 python -u scripts/perf/probe_render_parts.py
 echo "[queue] DONE ($(date -u +%H:%M:%S))"

@@ -140,20 +140,32 @@ def label_agreement(trainer, n_pairs: int = 4, n_points: int = 2048):
     return rows
 
 
+def _write(results):
+    os.makedirs(OUT, exist_ok=True)
+    with open(os.path.join(OUT, "visibility_effect.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+
 def main():
     reg_root = os.path.join(WORK, "regdata")
     results = {"ft_iters": FT_ITERS}
 
+    # write after every stage: the queue bounds this script with `timeout`
+    # and the cheap stages (base eval, label agreement, grid-ft) must
+    # survive a deadline kill during the expensive exact-ft tail
     trainer_g, val_ds = make_trainer("grid", reg_root, "grid")
     results["base"] = eval_heldout(trainer_g, val_ds)
     print("[base]", json.dumps(results["base"]), flush=True)
+    _write(results)
 
     results["label_agreement"] = label_agreement(trainer_g)
+    _write(results)
 
     s_per_it = finetune(trainer_g, FT_ITERS)
     results["grid_ft"] = {**eval_heldout(trainer_g, val_ds),
                           "s_per_iter": round(s_per_it, 3)}
     print("[grid_ft]", json.dumps(results["grid_ft"]), flush=True)
+    _write(results)
     del trainer_g
 
     trainer_e, val_ds = make_trainer("exact", reg_root, "exact")
@@ -162,9 +174,7 @@ def main():
                            "s_per_iter": round(s_per_it, 3)}
     print("[exact_ft]", json.dumps(results["exact_ft"]), flush=True)
 
-    os.makedirs(OUT, exist_ok=True)
-    with open(os.path.join(OUT, "visibility_effect.json"), "w") as f:
-        json.dump(results, f, indent=2)
+    _write(results)
     print(json.dumps({k: v for k, v in results.items()
                       if k != "label_agreement"}), flush=True)
 
