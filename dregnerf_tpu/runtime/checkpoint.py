@@ -123,6 +123,15 @@ class CheckpointManager:
         self._last_permanent = time.time()
         os.makedirs(save_dir, exist_ok=True)
         self._load_registry()
+        # restore best_score across process restarts (supervised fleet runs
+        # kill+restart trainers; without this the first post-restart save
+        # would overwrite model_best.ckpt regardless of score)
+        if os.path.exists(self.best_path):
+            try:
+                _, meta = load_checkpoint(self.best_path)
+                self.best_score = float(meta.get("_score", -np.inf))
+            except Exception:
+                pass
 
     # -- paths ------------------------------------------------------------
     def step_path(self, step: int) -> str:
@@ -165,6 +174,8 @@ class CheckpointManager:
         score: Optional[float] = None,
     ) -> str:
         meta = dict(meta, step=step)
+        if score is not None:
+            meta["_score"] = float(score)
         path = self.step_path(step)
         save_checkpoint(path, state, meta)
         shutil.copyfile(path, self.latest_path)

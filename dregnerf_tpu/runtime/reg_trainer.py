@@ -528,7 +528,7 @@ class RegTrainer:
         self.load_checkpoint()
         rng = np.random.default_rng(cfg.seed)
         t0 = time.time()
-        score = 0.0
+        score: Optional[float] = None  # no validation yet -> never "best"
         from dregnerf_tpu.runtime.resilience import run_with_retries
 
         bsz = max(int(getattr(cfg, "reg_batch_size", 1)), 1)
@@ -662,7 +662,10 @@ class RegTrainer:
             for k, v in metrics.items():
                 logger.writer.add_scalar(f"train/{k}", float(v), self.iteration)
 
-    def save_checkpoint(self, score: float = 0.0) -> None:
+    def save_checkpoint(self, score: Optional[float] = None) -> None:
+        # score=None (e.g. failure-path saves) never touches model_best.ckpt:
+        # RegTr scores are -RRE (negative), so a 0.0 default would claim
+        # best permanently.
         state = {"params": self.params, "optimizer": self.opt_state}
         meta = {
             "aabb": np.asarray(self.aabb).tolist(),

@@ -77,6 +77,26 @@ class TestCheckpointRetention:
         mgr.save(7, {"m": {"w": np.ones(1)}}, {})
         assert mgr.latest_step() == 7
 
+    def test_best_survives_restart_and_scoreless_saves(self, tmp_path):
+        """best_score persists across manager restarts (supervised fleets
+        kill+restart trainers), and score=None saves (failure path) never
+        touch model_best.ckpt — RegTr scores are -RRE (negative), so a
+        0.0 default would otherwise claim best permanently."""
+        from dregnerf_tpu.runtime.checkpoint import load_checkpoint
+
+        mgr = CheckpointManager(str(tmp_path))
+        mgr.save(1, {"m": {"w": np.full(2, 1.0)}}, {}, score=-2.0)
+        # fresh manager in the same dir = process restart
+        mgr2 = CheckpointManager(str(tmp_path))
+        assert mgr2.best_score == -2.0
+        mgr2.save(2, {"m": {"w": np.full(2, 2.0)}}, {}, score=-5.0)  # worse
+        mgr2.save(3, {"m": {"w": np.full(2, 3.0)}}, {}, score=None)  # failure
+        _, meta = load_checkpoint(str(tmp_path / "model_best.ckpt"))
+        assert meta["step"] == 1
+        mgr2.save(4, {"m": {"w": np.full(2, 4.0)}}, {}, score=-1.0)  # better
+        _, meta = load_checkpoint(str(tmp_path / "model_best.ckpt"))
+        assert meta["step"] == 4
+
 
 class TestResilience:
     def test_transient_classification(self):
