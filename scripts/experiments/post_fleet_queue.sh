@@ -26,10 +26,14 @@ set -u
 cd /root/repo
 export PYTHONPATH=/root/.axon_site:/root/repo
 
-# Hard stop for queue work (UTC, same day). Leaves the tunnel idle with
-# margin before the driver's round-end bench.
-QUEUE_DEADLINE="${QUEUE_DEADLINE:-11:10}"
-deadline_epoch=$(date -u -d "today $QUEUE_DEADLINE" +%s)
+# Hard stop for queue work. Leaves the tunnel idle with margin before the
+# driver's round-end bench. Accepts "HH:MM" (UTC, same day) or "+SECONDS"
+# relative to launch; defaults to +50 min (a round is ~1 h).
+QUEUE_DEADLINE="${QUEUE_DEADLINE:-+3000}"
+case "$QUEUE_DEADLINE" in
+  +*) deadline_epoch=$(( $(date -u +%s) + ${QUEUE_DEADLINE#+} )) ;;
+  *)  deadline_epoch=$(date -u -d "today $QUEUE_DEADLINE" +%s) ;;
+esac
 
 remaining() { echo $(( deadline_epoch - $(date -u +%s) )); }
 

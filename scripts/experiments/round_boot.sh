@@ -1,0 +1,29 @@
+#!/bin/bash
+# One-command round bootstrap: launch the stage-3 fleet (the longest
+# TPU job — must start in the round's FIRST minutes) under the
+# stall-detecting supervisor, then the deadline-aware TPU gate queue
+# behind it. Both survive Claude-session death via setsid nohup (but NOT
+# a VM restart — the fleet commits its metric JSONs incrementally so
+# evidence survives; see stage3_fleet.commit_progress).
+#
+# Usage (from /root/repo, at round start):
+#   ROUND_SECONDS=3600 bash scripts/experiments/round_boot.sh
+#
+# ROUND_SECONDS: wall budget from NOW until the driver's round-end bench;
+# the queue deadline is set to ROUND_SECONDS - 600 so the tunnel is idle
+# with margin.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/.axon_site:/root/repo
+
+ROUND_SECONDS="${ROUND_SECONDS:-3600}"
+export QUEUE_DEADLINE="+$(( ROUND_SECONDS - 600 ))"
+
+setsid nohup bash scripts/experiments/supervise.sh /tmp/stage3.log 900 3 -- \
+    python -u scripts/experiments/stage3_fleet.py \
+    > /tmp/stage3_supervisor.log 2>&1 &
+echo "fleet supervisor: pid $! (log /tmp/stage3.log)"
+
+setsid nohup bash scripts/experiments/post_fleet_queue.sh \
+    > /tmp/post_fleet.log 2>&1 &
+echo "gate queue: pid $! (deadline $QUEUE_DEADLINE, log /tmp/post_fleet.log)"
