@@ -104,14 +104,22 @@ def bench_train(jax, jnp):
         ])
         trainer = NGPTrainer(cfg, scene)
         key = jax.random.PRNGKey(0)
-        # warmup: compiles + bucket settling + occupancy warmup interval
-        for step in range(40):
+        # Warmup until the pow2 ray bucket stops moving: a bucket change
+        # inside the timed window drags a fresh compile (minutes, cold
+        # cache) into the measurement — a 40-step fixed warmup measured
+        # 0.13 M samples/s where the settled step runs 2.4 M.
+        step, stable, bucket = 0, 0, -1
+        while step < 200 and stable < 24:
             m = trainer.train_iteration(step, key)
+            step += 1
+            nr = int(m["num_rays"])
+            stable = stable + 1 if nr == bucket else 0
+            bucket = nr
         jax.block_until_ready(m["loss"])
         iters = 32
         counts = []  # device scalars; summed AFTER timing (no per-step sync)
         t0 = time.time()
-        for step in range(40, 40 + iters):
+        for step in range(step, step + iters):
             m = trainer.train_iteration(step, key)
             counts.append(m["n_samples"])
         jax.block_until_ready(m["loss"])
