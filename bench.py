@@ -162,15 +162,26 @@ def bench_extract(jax, jnp):
     pts0 = jax.random.uniform(key, (chunk, 3), minval=-1.2, maxval=1.2)
     origin = jnp.array([0.0, 0.0, 3.0])
 
+    # fn must stay a TOP-LEVEL jit call: wrapping it in an outer jit
+    # inlines its closed-over 2^19-table params as HLO constants and the
+    # remote compiler rejects the request (HTTP 413 — CLAUDE.md).
     @jax.jit
-    def one(pts):
+    def make_rays(pts):
         d = pts - origin[None]
         t_max = jnp.linalg.norm(d, axis=-1)
         dirs = d / t_max[:, None]
         origins = jnp.tile(origin[None], (chunk, 1))
-        s = fn(origins, dirs, t_max)
+        return origins, dirs, t_max
+
+    @jax.jit
+    def chain(pts, s):
         # chain: next chunk's points depend on this chunk's output
-        return jnp.clip(pts + 1e-5 * s[:, None], -1.2, 1.2), s
+        return jnp.clip(pts + 1e-5 * s[:, None], -1.2, 1.2)
+
+    def one(pts):
+        origins, dirs, t_max = make_rays(pts)
+        s = fn(origins, dirs, t_max)
+        return chain(pts, s), s
 
     pts, s = one(pts0)
     jax.block_until_ready(s)
@@ -193,7 +204,15 @@ def main() -> None:
     except Exception:
         pass
 
-    train_sps, train_detail = bench_train(jax, jnp)
+    # Each section is fenced: the driver parses the LAST line, so a crash
+    # in one path must not silence the headline render metric.
+    def fenced(fn, name):
+        try:
+            return fn(jax, jnp)
+        except Exception as e:  # record the failure, keep benching
+            return 0.0, {"error": f"{name}: {type(e).__name__}: {e}"[:300]}
+
+    train_sps, train_detail = fenced(bench_train, "train")
     print(json.dumps({
         "metric": "ngp_train_samples_per_s", "value": round(train_sps),
         "unit": "samples/s",
@@ -201,7 +220,7 @@ def main() -> None:
         "detail": train_detail,
     }), flush=True)
 
-    extract_rps, extract_detail = bench_extract(jax, jnp)
+    extract_rps, extract_detail = fenced(bench_extract, "extract")
     print(json.dumps({
         "metric": "extract_surface_rays_per_s", "value": round(extract_rps),
         "unit": "rays/s",
