@@ -102,19 +102,28 @@ def bench_train(jax, jnp):
             "--init_num_rays", "4096",
             "--max_num_rays", str(1 << 15),
         ])
+        from dregnerf_tpu.runtime.ngp_trainer import OCC_WARMUP_STEPS
+
         trainer = NGPTrainer(cfg, scene)
         key = jax.random.PRNGKey(0)
-        # Warmup until the pow2 ray bucket stops moving: a bucket change
-        # inside the timed window drags a fresh compile (minutes, cold
-        # cache) into the measurement — a 40-step fixed warmup measured
-        # 0.13 M samples/s where the settled step runs 2.4 M.
+        # Warmup until (a) the pow2 ray bucket stops moving — a bucket
+        # change inside the timed window drags a fresh compile (minutes,
+        # cold cache) into the measurement (a 40-step fixed warmup measured
+        # 0.13 M samples/s where the settled step runs 2.4 M) — AND (b) the
+        # occupancy grid has left its warmup phase: below OCC_WARMUP_STEPS
+        # every 16th step re-evaluates ALL grid cells (~500 ms vs ~106 ms
+        # steady, round-4 probe_trainer_wall) — steady-state throughput is
+        # the honest number and what a 10k-iteration block actually runs at.
         step, stable, bucket = 0, 0, -1
-        while step < 200 and stable < 24:
+        min_steps = OCC_WARMUP_STEPS + 1  # first steady occ update compiled
+        while step < max(400, min_steps) and (stable < 24 or step < min_steps):
             m = trainer.train_iteration(step, key)
             step += 1
             nr = int(m["num_rays"])
             stable = stable + 1 if nr == bucket else 0
             bucket = nr
+        bucket_settled = stable >= 24  # ADVICE r3: flag an unsettled window
+        warmup_steps = step
         jax.block_until_ready(m["loss"])
         iters = 32
         counts = []  # device scalars; summed AFTER timing (no per-step sync)
@@ -130,6 +139,8 @@ def bench_train(jax, jnp):
             "num_rays": int(m["num_rays"]),
             "march": trainer.render_config.march_compaction,
             "grad_accum": trainer.model_config.grid.grad_accum,
+            "warmup_steps": warmup_steps,
+            "bucket_settled": bucket_settled,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -157,14 +168,16 @@ def bench_extract(jax, jnp):
     )
 
     chunk = 8192
-    fn = make_surface_chunk_fn(params, cfg, grid, aabb, rcfg, chunk, 1 << 17)
+    samples_per_ray = 64
+    # buffer must satisfy chunk <= buffer // samples_per_ray or the march
+    # silently zeroes trailing rays (sample_grid.py cap contract).
+    fn = make_surface_chunk_fn(
+        params, cfg, grid, aabb, rcfg, chunk, chunk * samples_per_ray,
+        samples_per_ray=samples_per_ray,
+    )
 
     pts0 = jax.random.uniform(key, (chunk, 3), minval=-1.2, maxval=1.2)
     origin = jnp.array([0.0, 0.0, 3.0])
-
-    # fn must stay a TOP-LEVEL jit call: wrapping it in an outer jit
-    # inlines its closed-over 2^19-table params as HLO constants and the
-    # remote compiler rejects the request (HTTP 413 — CLAUDE.md).
     @jax.jit
     def make_rays(pts):
         d = pts - origin[None]

@@ -113,9 +113,16 @@ def make_surface_chunk_fn(
     from dregnerf_tpu.ops.occupancy import pack_regions
 
     regions = pack_regions(grid.binary)  # once per fn, not per chunk call
+    grid_tuple = tuple(grid)
 
+    # params / grid / regions are jit ARGUMENTS, not closure constants:
+    # closed-over arrays are inlined into the HLO and the 2^19-entry
+    # tables blow the remote compiler's request-size limit (HTTP 413 —
+    # CLAUDE.md; round-3 BENCH captured the failure). Mirrors
+    # parallel/extract_sharded.py.
     @jax.jit
-    def fn(origins, viewdirs, t_max):
+    def fn(params, grid_tuple, regions, origins, viewdirs, t_max):
+        grid = OccupancyGrid(*grid_tuple)
         packed = march_rays(
             origins, viewdirs, grid, aabb, rcfg.contraction,
             rcfg.render_step_size, buffer_size, rcfg.max_steps,
@@ -131,7 +138,10 @@ def make_surface_chunk_fn(
         sigma = jnp.where(packed.valid, sigma, 0.0)
         return surface_field_per_ray(packed, sigma)
 
-    return fn
+    def call(origins, viewdirs, t_max):
+        return fn(params, grid_tuple, regions, origins, viewdirs, t_max)
+
+    return call
 
 
 def compute_surface_mask(
@@ -220,8 +230,9 @@ def query_features(
     """(rgb mean over 18 fixed dirs, sigma, alpha) for [Np, 3] world points."""
     dirs18 = jnp.asarray(fixed_viewing_directions())
 
+    # params as a jit ARGUMENT (not closure): see make_surface_chunk_fn.
     @jax.jit
-    def fn(x):
+    def fn(params, x):
         sigma, feat = ngp.query_density(params, x, aabb, model_cfg, return_feat=True)
 
         def per_dir(d):
@@ -238,7 +249,7 @@ def query_features(
         sl = slice(i, min(i + chunk, np_pts))
         x = np.zeros((chunk, 3), np.float32)
         x[: sl.stop - sl.start] = points_world[sl]
-        r, s = fn(jnp.asarray(x))
+        r, s = fn(params, jnp.asarray(x))
         rgbs[sl] = np.asarray(r)[: sl.stop - sl.start]
         sigmas[sl] = np.asarray(s)[: sl.stop - sl.start]
     alphas = np.clip(1.0 - np.exp(-DELTA * sigmas), 0.0, 1.0)

@@ -55,27 +55,45 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     return lib
 
 
-def run_registration(
-    src_points: np.ndarray, tgt_points: np.ndarray, voxel_size: float = 0.05
-) -> Tuple[Optional[np.ndarray], float]:
-    """FGR src->tgt. Returns (4x4 float64 or None, seconds)."""
-    lib = _load_lib()
-    if lib is None:
-        return None, 0.0
-    src = np.ascontiguousarray(src_points, np.float64)
-    tgt = np.ascontiguousarray(tgt_points, np.float64)
+def _fgr_once(lib, src, tgt, voxel_size) -> Tuple[Optional[np.ndarray], int]:
     out = np.zeros(16, np.float64)
-    t0 = time.time()
     rc = lib.fgr_register(
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(src),
         tgt.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(tgt),
         ctypes.c_double(voxel_size),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
-    dt = time.time() - t0
-    if rc != 0:
-        return None, dt
-    return out.reshape(4, 4), dt
+    return (out.reshape(4, 4) if rc == 0 else None), rc
+
+
+def run_registration(
+    src_points: np.ndarray, tgt_points: np.ndarray, voxel_size: float = 0.05,
+    retry: bool = True,
+) -> Tuple[Optional[np.ndarray], float]:
+    """FGR src->tgt. Returns (4x4 float64 or None, seconds).
+
+    Failure modes of the native pipeline (fgr.cpp rc codes): too few
+    points after voxel downsampling (-1/-2) or too few reciprocal FPFH
+    correspondences (-3) — sparse/degenerate clouds (round-3 fleet: the
+    starvation-bug extractions). With `retry`, halve the voxel twice
+    (denser downsample keeps small clouds above the 10-point floors)
+    before giving up — the reference runs Open3D FGR once at 0.05
+    (global_registration.py:96-116) but never saw clouds this sparse."""
+    lib = _load_lib()
+    if lib is None:
+        return None, 0.0
+    src = np.ascontiguousarray(src_points, np.float64)
+    tgt = np.ascontiguousarray(tgt_points, np.float64)
+    t0 = time.time()
+    ladder = [voxel_size, voxel_size / 2, voxel_size / 4] if retry else [voxel_size]
+    rc = 0
+    for vox in ladder:
+        T, rc = _fgr_once(lib, src, tgt, vox)
+        if T is not None:
+            return T, time.time() - t0
+    print(f"[fgr] failed (rc={rc}, n_src={len(src)}, n_tgt={len(tgt)}, "
+          f"voxels tried {ladder})", flush=True)
+    return None, time.time() - t0
 
 
 def run_ransac_registration(

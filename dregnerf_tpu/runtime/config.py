@@ -161,6 +161,13 @@ def config_parser(argv=None) -> argparse.Namespace:
                         help="device mesh, e.g. '4,2' for (data, model)")
     parser.add_argument("--compilation_cache", type=str,
                         default="/tmp/dregnerf_jax_cache")
+    parser.add_argument("--watchdog_s", type=float, default=1200,
+                        help="hang watchdog: hard-exit (code 86) if a "
+                        "training heartbeat goes stale this long, so an "
+                        "outer supervisor restarts + resumes from the "
+                        "latest checkpoint (axon tunnel futex wedges — "
+                        "CLAUDE.md). 0 disables. Size above worst-case "
+                        "cold compile (~15 min uncached)")
 
     return parser.parse_args(argv)
 

@@ -367,13 +367,21 @@ class NGPTrainer:
         )
 
         # dynamic ray batching: track the sample budget, pow2 buckets.
-        # Only materialize the device scalar every BATCH_SYNC_INTERVAL
-        # steps (see constant above) so consecutive steps pipeline.
+        # Only materialize a device scalar every BATCH_SYNC_INTERVAL steps,
+        # and read the one SAVED AT THE PREVIOUS SYNC (computed ~8 steps
+        # ago, so the fetch is a cheap RTT on ready data) instead of the
+        # just-dispatched step's — blocking on the current step drains the
+        # whole dispatch pipeline (round-4 probe: the blocking variant cost
+        # ~50 ms/step amortized; staleness only delays a pow2 bucket
+        # switch by one interval, which is harmless).
         if step % BATCH_SYNC_INTERVAL == 0:
-            n_samples = int(metrics["n_samples"])
+            prev = getattr(self, "_pending_n_samples", None)
+            self._pending_n_samples = (bucket, metrics["n_samples"])
+            prev_bucket, n_samples = (bucket, 0) if prev is None else (
+                prev[0], int(prev[1]))
             if n_samples > 0:
                 target = self.config.sample_budget
-                ideal = bucket * target / max(n_samples, 1)
+                ideal = prev_bucket * target / max(n_samples, 1)
                 new_bucket = 1 << int(round(math.log2(max(ideal, 1))))
                 self.num_rays = int(
                     np.clip(
@@ -386,24 +394,39 @@ class NGPTrainer:
         return metrics
 
     def train(self) -> None:
-        from dregnerf_tpu.runtime.resilience import run_with_retries
+        """Direct train_iteration loop under a hang watchdog.
+
+        The axon tunnel has wedged long runs in a futex wait with no
+        exception (round 3, ~step 500, twice) — unrecoverable from inside
+        the process. The watchdog hard-exits on a stale heartbeat so an
+        outer supervisor/restart loop resumes from the latest checkpoint
+        (--watchdog_s, 0 disables; supervise.sh is the stock supervisor).
+        Parity: reference trainer loop conerf/base/trainer.py:161-246.
+        """
+        from dregnerf_tpu.runtime.resilience import Watchdog, run_with_retries
 
         cfg = self.config
         key = jax.random.PRNGKey(cfg.seed)
         start = self.load_checkpoint()
         t0 = time.time()
-        for step in range(start, cfg.max_iterations):
-            metrics = run_with_retries(
-                lambda: self.train_iteration(step, key),
-                on_failure=lambda exc: self.save_checkpoint(step),
-            )
-            self.state.step = step + 1
-            if step % cfg.n_tensorboard == 0:
-                self.log_scalars(step, metrics, time.time() - t0)
-            if (step + 1) % cfg.n_validation == 0:
-                self.validate(step + 1)
-            if (step + 1) % cfg.n_checkpoint == 0 or step + 1 == cfg.max_iterations:
-                self.save_checkpoint(step + 1)
+        with Watchdog(getattr(cfg, "watchdog_s", 1200),
+                      name=cfg.expname) as wd:
+            for step in range(start, cfg.max_iterations):
+                metrics = run_with_retries(
+                    lambda: self.train_iteration(step, key),
+                    on_failure=lambda exc: self.save_checkpoint(step),
+                )
+                self.state.step = step + 1
+                if step % cfg.n_tensorboard == 0:
+                    # float(loss) is also the periodic device sync that
+                    # keeps the heartbeat honest: a wedged device blocks
+                    # here, the beat goes stale, the watchdog fires.
+                    self.log_scalars(step, metrics, time.time() - t0)
+                if (step + 1) % cfg.n_validation == 0:
+                    self.validate(step + 1)
+                if (step + 1) % cfg.n_checkpoint == 0 or step + 1 == cfg.max_iterations:
+                    self.save_checkpoint(step + 1)
+                wd.beat()
 
     # ------------------------------------------------------------------ infra
     def log_scalars(self, step: int, metrics: dict, elapsed: float) -> None:

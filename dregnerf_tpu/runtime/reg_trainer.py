@@ -204,6 +204,10 @@ class RegTrainer:
         }
         self.setup_optimizer()
         self.iteration = 0
+        # optional (iteration, val_score) callback after each validation —
+        # fleet experiments use it to commit metric JSONs mid-stage-3
+        # (ADVICE r3: a VM restart must not lose the longest stage)
+        self.on_validate = None
         from dregnerf_tpu.runtime.logging import ScalarLogger
 
         self._log_file = open(os.path.join(self.output_dir, "log.txt"), "a")
@@ -529,7 +533,7 @@ class RegTrainer:
         rng = np.random.default_rng(cfg.seed)
         t0 = time.time()
         score: Optional[float] = None  # no validation yet -> never "best"
-        from dregnerf_tpu.runtime.resilience import run_with_retries
+        from dregnerf_tpu.runtime.resilience import Watchdog, run_with_retries
 
         bsz = max(int(getattr(cfg, "reg_batch_size", 1)), 1)
         if getattr(self, "mesh", None) is not None:
@@ -561,32 +565,44 @@ class RegTrainer:
             print("[reg_trainer] device-resident grid cache on "
                   f"(<= {self._dev_cache_size} blocks, in-jit augmentation)",
                   flush=True)
-        while self.iteration < max_iterations:
-            order = rng.permutation(len(self.train_dataset))
-            if bsz > 1:
-                order = order[: len(order) - len(order) % bsz].reshape(-1, bsz)
-            for i in order:
+        # Hang watchdog: same failure mode + recovery as NGPTrainer.train
+        # (futex wedge through the tunnel -> hard exit -> supervisor
+        # restart -> resume from latest checkpoint).
+        with Watchdog(getattr(cfg, "watchdog_s", 1200),
+                      name=cfg.expname) as wd:
+            while self.iteration < max_iterations:
+                order = rng.permutation(len(self.train_dataset))
                 if bsz > 1:
-                    metrics = run_with_retries(
-                        lambda i=i: self.train_iteration_batch(
-                            [self.train_dataset[int(j)] for j in i]
-                        ),
-                        on_failure=lambda exc: self.save_checkpoint(),
-                    )
-                else:
-                    metrics = run_with_retries(
-                        lambda i=i: self.train_iteration(fetch(int(i))),
-                        on_failure=lambda exc: self.save_checkpoint(),
-                    )
-                self.iteration += 1
-                if self.iteration % cfg.n_tensorboard == 0:
-                    self.log_scalars(metrics, time.time() - t0)
-                if self.iteration % cfg.n_validation == 0:
-                    score = self.validate()
-                if self.iteration % cfg.n_checkpoint == 0:
-                    self.save_checkpoint(score)
-                if self.iteration >= max_iterations:
-                    break
+                    order = order[: len(order) - len(order) % bsz].reshape(-1, bsz)
+                for i in order:
+                    if bsz > 1:
+                        metrics = run_with_retries(
+                            lambda i=i: self.train_iteration_batch(
+                                [self.train_dataset[int(j)] for j in i]
+                            ),
+                            on_failure=lambda exc: self.save_checkpoint(),
+                        )
+                    else:
+                        metrics = run_with_retries(
+                            lambda i=i: self.train_iteration(fetch(int(i))),
+                            on_failure=lambda exc: self.save_checkpoint(),
+                        )
+                    self.iteration += 1
+                    if self.iteration % cfg.n_tensorboard == 0:
+                        self.log_scalars(metrics, time.time() - t0)
+                    if self.iteration % cfg.n_validation == 0:
+                        score = self.validate()
+                        if self.on_validate is not None:
+                            try:  # experiment bookkeeping must not kill training
+                                self.on_validate(self.iteration, score)
+                            except Exception as exc:  # noqa: BLE001
+                                print(f"[reg_trainer] on_validate failed: {exc}",
+                                      flush=True)
+                    if self.iteration % cfg.n_checkpoint == 0:
+                        self.save_checkpoint(score)
+                    if self.iteration >= max_iterations:
+                        break
+                    wd.beat()
         self.save_checkpoint(score)
 
     def validate(self, fraction: float = 0.2) -> float:

@@ -68,6 +68,80 @@ def run_with_retries(
             raise
 
 
+class Watchdog:
+    """In-process hang detector for long TPU runs through the axon tunnel.
+
+    The observed failure mode (round 3, CLAUDE.md): a training process
+    wedges in a futex wait mid-step — no exception, no output — so
+    exception-based recovery (`run_with_retries`) never fires. The only
+    safe recovery is process death + resume-from-checkpoint: a wedged
+    device sync cannot be interrupted from inside the process.
+
+    Usage::
+
+        with Watchdog(timeout_s=1200, name="ngp") as wd:
+            for step in ...:
+                train_iteration(step)
+                wd.beat()
+
+    A daemon thread checks the heartbeat; if it goes stale past
+    `timeout_s` the process exits hard (os._exit) with `exit_code` so an
+    outer supervisor (scripts/experiments/supervise.sh, or any restart
+    loop) relaunches it and training resumes from the latest checkpoint.
+    timeout_s <= 0 disables the watchdog. Size timeout_s above the
+    worst-case cold compile (2-15 min through the remote tunnel —
+    compiles are incrementally cached, so a kill mid-compile still makes
+    monotonic progress across restarts).
+    """
+
+    EXIT_CODE = 86
+
+    def __init__(self, timeout_s: float, name: str = "",
+                 exit_code: int = EXIT_CODE):
+        self.timeout_s = float(timeout_s)
+        self.name = name
+        self.exit_code = exit_code
+        self._last = time.time()
+        self._stop = None
+
+    def beat(self) -> None:
+        self._last = time.time()
+
+    def __enter__(self) -> "Watchdog":
+        if self.timeout_s <= 0:
+            return self
+        import threading
+
+        self._stop = threading.Event()
+        self.beat()
+
+        def watch():
+            poll = max(min(self.timeout_s / 4.0, 30.0), 1.0)
+            while not self._stop.wait(poll):
+                stale = time.time() - self._last
+                if stale > self.timeout_s:
+                    import os
+                    import sys
+
+                    print(
+                        f"[watchdog:{self.name}] no heartbeat for "
+                        f"{stale:.0f}s (> {self.timeout_s:.0f}s) — "
+                        f"exiting {self.exit_code} for supervisor restart",
+                        flush=True,
+                    )
+                    sys.stdout.flush()
+                    sys.stderr.flush()
+                    os._exit(self.exit_code)
+
+        threading.Thread(target=watch, daemon=True,
+                         name=f"watchdog-{self.name}").start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._stop is not None:
+            self._stop.set()
+
+
 def guard_nans(tree: Any, where: str = "") -> None:
     """Raise if any leaf contains NaN/Inf (host-side; call sparingly)."""
     import jax

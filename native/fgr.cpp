@@ -106,10 +106,23 @@ std::vector<Vec3> voxel_downsample(const double *xyz, int n, double voxel) {
 }
 
 // ----------------------------------------------------------------- normals
+//
+// Normal SIGN must be deterministic and rigid-transform covariant: the
+// Jacobi eigenvector sign is numerically arbitrary, so without an
+// orientation rule ~half the (src, tgt) counterpart normals flip relative
+// to each other after a rotation, scrambling the FPFH Darboux angles and
+// the correspondences (measured: 24.6 deg FGR error on IDENTICAL clouds).
+// Rule: point the normal AWAY from the local neighborhood mean — outward
+// on shell-like clouds (exactly what NeRF voxel extractions are), fully
+// local, covariant. Fallback when the local cue is degenerate (flat
+// patch): away from the cloud centroid.
 std::vector<Vec3> estimate_normals(const std::vector<Vec3> &pts,
                                    const GridHash &grid, double radius) {
   std::vector<Vec3> normals(pts.size());
   std::vector<int> nbr;
+  Vec3 centroid{0, 0, 0};
+  for (const Vec3 &p : pts) centroid = centroid + p;
+  if (!pts.empty()) centroid = centroid * (1.0 / pts.size());
   for (size_t i = 0; i < pts.size(); ++i) {
     grid.radius(pts[i], radius, nbr);
     if (nbr.size() < 3) {
@@ -154,7 +167,12 @@ std::vector<Vec3> estimate_normals(const std::vector<Vec3> &pts,
     double mv = A[0][0];
     for (int k = 1; k < 3; ++k)
       if (A[k][k] < mv) { mv = A[k][k]; mi = k; }
-    normals[i] = Vec3{V[0][mi], V[1][mi], V[2][mi]}.normalized();
+    Vec3 n = Vec3{V[0][mi], V[1][mi], V[2][mi]}.normalized();
+    Vec3 local = pts[i] - mean;
+    double cue = n.dot(local);
+    if (std::fabs(cue) < 1e-3 * radius) cue = n.dot(pts[i] - centroid);
+    if (cue < 0) n = n * -1.0;
+    normals[i] = n;
   }
   return normals;
 }

@@ -17,7 +17,17 @@ cd /root/repo
 export PYTHONPATH=/root/.axon_site:/root/repo
 
 ROUND_SECONDS="${ROUND_SECONDS:-3600}"
-export QUEUE_DEADLINE="+$(( ROUND_SECONDS - 600 ))"
+# ADVICE r3: floor the queue budget — ROUND_SECONDS <= 600 must not put
+# the deadline in the past (the queue would silently skip every gate)
+queue_budget=$(( ROUND_SECONDS - 600 ))
+if [ "$queue_budget" -lt 300 ]; then queue_budget=300; fi
+export QUEUE_DEADLINE="+${queue_budget}"
+
+# ADVICE r3: a stale log from a previous round already contains the
+# supervisor's success/give-up line — post_fleet_queue would unblock
+# immediately and run gates CONCURRENTLY with the fresh fleet (parallel
+# tunnel load breaks the remote compiler). Start from a clean log.
+rm -f /tmp/stage3.log /tmp/stage3.log.pid /tmp/stage3_supervisor.log /tmp/post_fleet.log
 
 setsid nohup bash scripts/experiments/supervise.sh /tmp/stage3.log 900 3 -- \
     python -u scripts/experiments/stage3_fleet.py \

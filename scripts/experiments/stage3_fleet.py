@@ -83,11 +83,34 @@ def commit_progress(msg: str) -> None:
     try:
         subprocess.run(["git", "-C", repo, "add", "experiments/stage3"],
                        check=False, capture_output=True, timeout=60)
-        subprocess.run(["git", "-C", repo, "commit", "-m",
-                        f"stage3 fleet progress: {msg}"],
-                       check=False, capture_output=True, timeout=60)
+        # pathspec-limited commit (ADVICE r3): never sweep unrelated staged
+        # work from a concurrent session into a fleet-progress commit
+        r = subprocess.run(["git", "-C", repo, "commit", "-m",
+                            f"stage3 fleet progress: {msg}",
+                            "--", "experiments/stage3"],
+                           check=False, capture_output=True, timeout=60)
+        if r.returncode != 0:
+            err = (r.stdout + r.stderr).decode(errors="replace")
+            if "nothing to commit" not in err and "no changes" not in err:
+                print(f"[fleet] commit_progress rc={r.returncode}: "
+                      f"{err[:300]}", flush=True)
     except Exception as e:  # never let bookkeeping kill TPU work
         print(f"[fleet] commit_progress failed: {e}", flush=True)
+
+
+def _ckpt_step(path: str) -> int:
+    """Step recorded in a checkpoint's meta (0 if unreadable).
+
+    model.ckpt is the LATEST copy, written at every periodic save — mere
+    existence no longer means 'fully trained' now that stage 1 checkpoints
+    every 1000 steps for supervisor-restart resume."""
+    try:
+        from dregnerf_tpu.runtime.checkpoint import load_checkpoint
+
+        _, meta = load_checkpoint(path)
+        return int(meta.get("step", 0))
+    except Exception:
+        return 0
 
 
 def scene_names():
@@ -121,8 +144,10 @@ def stage1_and_2():
             "--sample_budget", str(NGP_BUDGET), "--max_march_steps", "1024",
             "--grid_resolution", "128", "--init_num_rays", "1024",
             "--max_num_rays", str(1 << 15),
+            # checkpoint every 1000 steps: a watchdog/supervisor restart
+            # resumes losing <= 1000 steps instead of the whole block
             "--n_tensorboard", "500", "--n_validation", "1000000",
-            "--n_checkpoint", str(NGP_ITERS),
+            "--n_checkpoint", "1000",
         ])
         train_blocks = load_scene_blocks(
             "objaverse", data_root, scene, "train", 1, True, 2)
@@ -136,7 +161,7 @@ def stage1_and_2():
             ckpt = os.path.join(out_dir, "model", "model.ckpt")
             voxels = os.path.join(out_dir, "voxel_grid.pt")
 
-            if not os.path.exists(ckpt):
+            if not os.path.exists(ckpt) or _ckpt_step(ckpt) < NGP_ITERS:
                 t0 = time.time()
                 trainer = NGPTrainer(cfg, tr, te, output_dir=out_dir)
                 trainer.model_config = NGP_MODEL
@@ -243,6 +268,24 @@ def stage3(reg_root):
         "--n_checkpoint", "1000", "--lr", "1e-4",
     ])
     trainer = RT.RegTrainer(cfg, train_ds, val_ds)
+
+    # ADVICE r3: stage 3 is the longest stage — persist + commit the val
+    # curve at every validation so a mid-stage-3 VM restart keeps evidence
+    os.makedirs(OUT, exist_ok=True)
+    curve_path = os.path.join(OUT, "stage3_val_curve.json")
+
+    def on_validate(iteration, score):
+        try:
+            with open(curve_path) as f:
+                curve = json.load(f)
+        except Exception:
+            curve = {}
+        curve[str(iteration)] = round(float(score), 4)
+        with open(curve_path, "w") as f:
+            json.dump(curve, f, indent=2, sort_keys=True)
+        commit_progress(f"stage3 val@{iteration}: {score:.3f}")
+
+    trainer.on_validate = on_validate
     trainer.train()
     return trainer, val_ds, test_scenes
 
