@@ -32,10 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from dregnerf_tpu.models import ngp
-from dregnerf_tpu.ops.composite import surface_field_per_ray
 from dregnerf_tpu.ops.contraction import contract_inv
 from dregnerf_tpu.ops.occupancy import OccupancyGrid
-from dregnerf_tpu.ops.ray_march import march_rays
 from dregnerf_tpu.render.renderer import RenderConfig
 from dregnerf_tpu.io.ply import write_ply
 
@@ -102,13 +100,15 @@ def make_surface_chunk_fn(
 ):
     """Jitted: (origins, viewdirs, t_max)[chunk] -> per-ray surface field S.
 
-    Callers MUST size chunk <= buffer_size // samples_per_ray: the march
-    caps each ray at `samples_per_ray` survivors so the packed buffer can
-    never overflow. Without the cap, dense scenes (fully-occupied object
+    Each ray keeps its first `samples_per_ray` surviving steps (row
+    layout, [chunk, samples_per_ray]); `buffer_size` only bounds memory
+    via the callers' chunk <= buffer_size // samples_per_ray sizing rule.
+    The per-ray cap (not a shared global cut) is what prevents the
+    round-3 starvation failure: dense scenes (fully-occupied object
     interiors after converged training: ~265 occupied steps on a
-    center-crossing ray) need chunk x steps >> buffer and the global cut
-    silently returns S=0 for every trailing ray — round 3 saw 82 of ~10k
-    shell voxels survive extraction on a 105k-occupied-cell model.
+    center-crossing ray) would blow a shared buffer and silently return
+    S=0 for trailing rays — round 3 saw 82 of ~10k shell voxels survive
+    extraction on a 105k-occupied-cell model.
     """
     from dregnerf_tpu.ops.occupancy import pack_regions
 
@@ -120,23 +120,30 @@ def make_surface_chunk_fn(
     # tables blow the remote compiler's request-size limit (HTTP 413 —
     # CLAUDE.md; round-3 BENCH captured the failure). Mirrors
     # parallel/extract_sharded.py.
+    #
+    # Row-packed marching: each ray keeps its FIRST samples_per_ray
+    # surviving steps — content-identical to the previous capped flat
+    # packing (both select via top_k over -step), but the surface field
+    # becomes axis-1 cumsum/max instead of segment ops and the flat
+    # pack/scatter stage disappears entirely.
     @jax.jit
     def fn(params, grid_tuple, regions, origins, viewdirs, t_max):
-        grid = OccupancyGrid(*grid_tuple)
-        packed = march_rays(
-            origins, viewdirs, grid, aabb, rcfg.contraction,
-            rcfg.render_step_size, buffer_size, rcfg.max_steps,
-            rcfg.near_plane, rcfg.far_plane, t_max=t_max, regions=regions,
-            compaction="capped",  # 1.6x vs compact on this shape; fairer
-            # per-ray budget under buffer pressure (probe_surface_march.py)
-            k_cap=samples_per_ray,
-        )
-        from dregnerf_tpu.ops.ray_march import sample_positions
+        from dregnerf_tpu.ops.composite import surface_field_rows
+        from dregnerf_tpu.ops.ray_march import (
+            march_rays_rows, row_sample_positions)
 
-        pos, _ = sample_positions(packed, origins, viewdirs)
-        sigma = ngp.query_density(params, pos, aabb, model_cfg).reshape(-1)
-        sigma = jnp.where(packed.valid, sigma, 0.0)
-        return surface_field_per_ray(packed, sigma)
+        grid = OccupancyGrid(*grid_tuple)
+        rows = march_rays_rows(
+            origins, viewdirs, grid, aabb, rcfg.contraction,
+            rcfg.render_step_size, samples_per_ray, rcfg.max_steps,
+            rcfg.near_plane, rcfg.far_plane, t_max=t_max, regions=regions,
+        )
+        pos, _ = row_sample_positions(rows, origins, viewdirs)
+        sigma = ngp.query_density(
+            params, pos.reshape(-1, 3), aabb, model_cfg
+        ).reshape(rows.valid.shape)
+        sigma = jnp.where(rows.valid, sigma, 0.0)
+        return surface_field_rows(rows, sigma)
 
     def call(origins, viewdirs, t_max):
         return fn(params, grid_tuple, regions, origins, viewdirs, t_max)

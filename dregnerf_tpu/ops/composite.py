@@ -149,6 +149,29 @@ def composite(
     )
 
 
+def surface_field_rows(rows, sigmas: jnp.ndarray) -> jnp.ndarray:
+    """Per-ray surface field S = max_k (T_k * alpha_k) on row-packed samples.
+
+    Row-layout twin of `surface_field_per_ray`: with samples aligned to
+    rays the transmittance is an axis-1 cumsum and the max is an axis-1
+    reduction — no segment keys (the segment-keyed composite measured
+    14.6 ms vs 2.9 ms row-aligned at [4096, 64], probe_march_parts.py).
+    Content-identical to the capped flat path: both keep each ray's FIRST
+    K surviving steps (ray_march.py top_k over -step).
+    Reference semantics: conerf/register/sample_grid.py:307-313.
+    """
+    sigmas = sigmas.reshape(rows.valid.shape).astype(jnp.float32)
+    alphas = 1.0 - jnp.exp(-sigmas * rows.dt)
+    alphas = jnp.where(rows.valid, alphas, 0.0)
+    log_1ma = jnp.log(jnp.clip(1.0 - alphas, 1e-10, 1.0))
+    csum = jnp.cumsum(log_1ma, axis=1)
+    excl = jnp.concatenate(
+        [jnp.zeros((alphas.shape[0], 1), csum.dtype), csum[:, :-1]], axis=1
+    )
+    trans = jnp.where(rows.valid, jnp.exp(excl), 0.0)
+    return jnp.maximum(jnp.max(alphas * trans, axis=1), 0.0)
+
+
 def surface_field_per_ray(packed: PackedSamples, sigmas: jnp.ndarray) -> jnp.ndarray:
     """Per-ray surface field S = max_i (T_i * alpha_i).
 

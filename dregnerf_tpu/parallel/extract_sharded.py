@@ -18,9 +18,9 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from dregnerf_tpu.models import ngp
-from dregnerf_tpu.ops.composite import surface_field_per_ray
+from dregnerf_tpu.ops.composite import surface_field_rows
 from dregnerf_tpu.ops.occupancy import OccupancyGrid
-from dregnerf_tpu.ops.ray_march import march_rays, sample_positions
+from dregnerf_tpu.ops.ray_march import march_rays_rows, row_sample_positions
 from dregnerf_tpu.render.renderer import RenderConfig
 
 
@@ -48,17 +48,20 @@ def make_sharded_surface_fn(
         out_specs=P("data"),
     )
     def fn(params, grid_tuple, origins, viewdirs, t_max):
+        # row layout, same as the single-chip path (sample_grid.py):
+        # first-K-survivors content, axis-1 surface reduction
         grid = OccupancyGrid(*grid_tuple)
-        packed = march_rays(
+        rows = march_rays_rows(
             origins, viewdirs, grid, aabb, rcfg.contraction,
-            rcfg.render_step_size, buffer_per_device, rcfg.max_steps,
+            rcfg.render_step_size, samples_per_ray, rcfg.max_steps,
             rcfg.near_plane, rcfg.far_plane, t_max=t_max,
-            compaction="capped", k_cap=samples_per_ray,
         )
-        pos, _ = sample_positions(packed, origins, viewdirs)
-        sigma = field.query_density(params, pos, aabb, model_cfg).reshape(-1)
-        sigma = jnp.where(packed.valid, sigma, 0.0)
-        return surface_field_per_ray(packed, sigma)
+        pos, _ = row_sample_positions(rows, origins, viewdirs)
+        sigma = field.query_density(
+            params, pos.reshape(-1, 3), aabb, model_cfg
+        ).reshape(rows.valid.shape)
+        sigma = jnp.where(rows.valid, sigma, 0.0)
+        return surface_field_rows(rows, sigma)
 
     @jax.jit
     def wrapped(params, grid, origins, viewdirs, t_max):

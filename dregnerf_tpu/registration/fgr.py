@@ -91,6 +91,14 @@ def run_registration(
         T, rc = _fgr_once(lib, src, tgt, vox)
         if T is not None:
             return T, time.time() - t0
+    if retry:
+        # last rung: RANSAC needs only 3 correspondences where FGR's
+        # graduated solver wants >= 10 — rescues clouds whose FPFH is too
+        # ambiguous for a dense reciprocal match (tiny shells, few cells)
+        for vox in (voxel_size / 2, voxel_size / 4):
+            T, _dt = run_ransac_registration(src, tgt, voxel_size=vox)
+            if T is not None:
+                return T, time.time() - t0
     print(f"[fgr] failed (rc={rc}, n_src={len(src)}, n_tgt={len(tgt)}, "
           f"voxels tried {ladder})", flush=True)
     return None, time.time() - t0

@@ -29,7 +29,14 @@ export QUEUE_DEADLINE="+${queue_budget}"
 # tunnel load breaks the remote compiler). Start from a clean log.
 rm -f /tmp/stage3.log /tmp/stage3.log.pid /tmp/stage3_supervisor.log /tmp/post_fleet.log
 
-setsid nohup bash scripts/experiments/supervise.sh /tmp/stage3.log 900 3 -- \
+# Stall window must exceed the worst single cold compile through the
+# tunnel (~15 min, CLAUDE.md) — the fleet emits no log lines while a
+# compile is in flight, and a false kill both wastes an attempt and
+# leaves the tunnel sick ~5 min. Attempts sized for a long round: each
+# restart resumes from caches/checkpoints, so retries are cheap.
+STALL_S="${STALL_S:-2400}"
+MAX_ATTEMPTS="${MAX_ATTEMPTS:-10}"
+setsid nohup bash scripts/experiments/supervise.sh /tmp/stage3.log "$STALL_S" "$MAX_ATTEMPTS" -- \
     python -u scripts/experiments/stage3_fleet.py \
     > /tmp/stage3_supervisor.log 2>&1 &
 echo "fleet supervisor: pid $! (log /tmp/stage3.log)"

@@ -381,6 +381,55 @@ class TestFGRBaseline:
         assert rre < 5.0
         assert np.linalg.norm(est[:3, 3] - T[:3, 3]) < 0.05
 
+    def test_fgr_multicluster_voxel_cloud(self, rng):
+        """Round-4 regression: multi-cluster voxel-SNAPPED shell clouds
+        (exactly what stage-2 extraction emits). Before the normal
+        orientation fix in fgr.cpp the arbitrary eigenvector sign
+        scrambled FPFH between rotated copies: 24.6 deg error on
+        IDENTICAL clouds; with outward-oriented normals: ~1 deg full
+        overlap / ~3 deg at 70%."""
+        from scipy.spatial.transform import Rotation as R
+
+        from dregnerf_tpu.registration.fgr import run_registration
+
+        r = np.random.default_rng(7)
+        pts = []
+        for _ in range(4):
+            c = r.uniform(-0.6, 0.6, 3)
+            rad = r.uniform(0.15, 0.3)
+            d = r.normal(size=(3000, 3))
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            pts.append(c + rad * d)
+        p = np.concatenate(pts)
+        p = np.unique(np.round(p / (2 / 128)) * (2 / 128), axis=0)
+        T = np.eye(4)
+        T[:3, :3] = R.from_euler("xyz", [15, 25, -30], degrees=True).as_matrix()
+        T[:3, 3] = [0.3, -0.2, 0.1]
+        tgt = p @ T[:3, :3].T + T[:3, 3]
+        # partial overlap: independent 30% dropout on each side
+        src_p = p[rng.random(len(p)) > 0.3]
+        tgt_p = tgt[rng.random(len(tgt)) > 0.3]
+        est, _ = run_registration(src_p, tgt_p, voxel_size=0.05)
+        assert est is not None
+        rre = np.degrees(np.arccos(np.clip(
+            (np.trace(est[:3, :3].T @ T[:3, :3]) - 1) / 2, -1, 1)))
+        assert rre < 6.0, rre
+        assert np.linalg.norm(est[:3, 3] - T[:3, 3]) < 0.08
+
+    def test_fgr_sparse_cloud_retry_ladder(self, rng):
+        """A cloud too sparse for the 0.05 downsample floor registers via
+        the voxel-halving retry (round-3 fleet failure mode: every FGR row
+        was 'fgr failed' on degenerate extractions)."""
+        from dregnerf_tpu.registration.fgr import run_registration
+
+        sph = rng.normal(size=(90, 3))
+        sph /= np.linalg.norm(sph, axis=1, keepdims=True)
+        pts = sph * np.array([0.2, 0.15, 0.1])  # tiny shell: ~dozens of
+        # occupied 0.05-voxels -> rc -2/-3 at the reference voxel size
+        tgt = pts + np.array([0.05, -0.02, 0.01])
+        est, _ = run_registration(pts, tgt, voxel_size=0.2, retry=True)
+        assert est is not None  # ladder found a workable density
+
     def test_ransac_recovers_large_rotation(self, rng):
         """RANSAC+GN handles rotations where plain FGR can fall into a
         wrong basin."""

@@ -142,6 +142,50 @@ class TestResilience:
         with pytest.raises(FloatingPointError):
             guard_nans({"a": np.array([1.0, np.nan])}, "bad")
 
+    def test_watchdog_beat_keeps_alive(self):
+        from dregnerf_tpu.runtime.resilience import Watchdog
+
+        import time as _t
+
+        with Watchdog(timeout_s=2.0, name="test") as wd:
+            for _ in range(4):
+                _t.sleep(0.3)
+                wd.beat()
+        # exiting the context stops the thread; still alive == pass
+
+    def test_watchdog_disabled_noop(self):
+        from dregnerf_tpu.runtime.resilience import Watchdog
+
+        with Watchdog(timeout_s=0, name="off") as wd:
+            wd.beat()
+
+    def test_watchdog_fires_in_subprocess(self):
+        """A stale heartbeat hard-exits with the watchdog's code (86) so
+        an outer supervisor restarts + resumes from checkpoint — the only
+        recovery for the futex-wedge failure mode (CLAUDE.md round 3)."""
+        import subprocess
+        import sys
+
+        code = (
+            "from dregnerf_tpu.runtime.resilience import Watchdog\n"
+            "import time\n"
+            "with Watchdog(timeout_s=1.0, name='sub') as wd:\n"
+            "    time.sleep(30)\n"  # never beats -> watchdog fires
+            "print('should not reach here')\n"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, timeout=25,
+            text=True,
+        )
+        assert r.returncode == Watchdog_exit_code()
+        assert "no heartbeat" in r.stdout
+
+
+def Watchdog_exit_code():
+    from dregnerf_tpu.runtime.resilience import Watchdog
+
+    return Watchdog.EXIT_CODE
+
 
 def test_export_reference_pth(tmp_path):
     """npz checkpoint -> reference-style flat model.pth (torch dict with
