@@ -184,6 +184,44 @@ class TestCompositing:
         s = surface_field_per_ray(packed, jnp.zeros(64))
         np.testing.assert_allclose(s, 0.0)
 
+    def test_surface_field_rows_matches_packed(self, key):
+        """The extraction path's row-layout surface field must equal the
+        segment-keyed packed one: same first-K-survivors content (capped
+        flat vs rows), same S = max T*alpha (round-4 layout switch)."""
+        from dregnerf_tpu.ops.composite import surface_field_rows
+        from dregnerf_tpu.ops.ray_march import (
+            march_rays_rows, row_sample_positions)
+
+        n = 16
+        o = jnp.stack([
+            jnp.linspace(-0.4, 0.4, n), jnp.full((n,), -0.2),
+            jnp.full((n,), -3.0)], axis=-1)
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+        t_max = jnp.full((n,), 5.0)
+        # k must cover entry->surface: full grid means the first k survivors
+        # start at the AABB boundary (z=-1.5); 256 x 0.01 steps reach z=+1.06
+        k = 256
+        packed = march_rays(
+            o, d, full_grid(), AABB, "aabb", 0.01, n * k, 512,
+            t_max=t_max, compaction="capped", k_cap=k,
+        )
+        pos_p, _ = sample_positions(packed, o, d)
+        sig_p = jnp.where(packed.valid, sphere_sigma(pos_p, value=30.0), 0.0)
+        s_packed = surface_field_per_ray(packed, sig_p)
+
+        rows = march_rays_rows(
+            o, d, full_grid(), AABB, "aabb", 0.01, k, 512, t_max=t_max)
+        pos_r, _ = row_sample_positions(rows, o, d)
+        sig_r = jnp.where(
+            rows.valid,
+            sphere_sigma(pos_r.reshape(-1, 3), value=30.0).reshape(rows.valid.shape),
+            0.0,
+        )
+        s_rows = surface_field_rows(rows, sig_r)
+        np.testing.assert_allclose(
+            np.asarray(s_rows), np.asarray(s_packed), rtol=1e-5, atol=1e-6)
+        assert float(jnp.max(s_rows)) > 0.1  # the comparison is non-trivial
+
 
 class TestOccupancyUpdate:
     def test_update_marks_dense_region(self, key):
