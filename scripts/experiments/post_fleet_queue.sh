@@ -61,6 +61,11 @@ run() {
 # validate the driver's headline artifact first (train/extract metrics are
 # new this round; a crash here must be found while there is time to fix)
 run 1800 python -u bench.py
+
+# VERDICT r3 #6 evidence: one unattended >=5k-step run through the
+# train_ngp_nerf.py CLI (watchdog active), result JSON committed
+run 2400 bash scripts/experiments/cli_train_5k.sh
+
 run 7200 python -u scripts/experiments/layout_gate.py
 
 # cheap march/shade decomposition BEFORE the long visibility run: it is
