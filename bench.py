@@ -19,6 +19,8 @@ import shutil
 import tempfile
 import time
 
+import numpy as np
+
 BASELINE_RENDER = 1e8
 BASELINE_TRAIN = 1e7
 BASELINE_EXTRACT = 1e6
@@ -177,9 +179,9 @@ def bench_extract(jax, jnp):
     )
 
     pts0 = jax.random.uniform(key, (chunk, 3), minval=-1.2, maxval=1.2)
-    origin = jnp.array([0.0, 0.0, 3.0])
+
     @jax.jit
-    def make_rays(pts):
+    def make_rays(pts, origin):
         d = pts - origin[None]
         t_max = jnp.linalg.norm(d, axis=-1)
         dirs = d / t_max[:, None]
@@ -191,20 +193,57 @@ def bench_extract(jax, jnp):
         # chain: next chunk's points depend on this chunk's output
         return jnp.clip(pts + 1e-5 * s[:, None], -1.2, 1.2)
 
+    # The REAL stage-2 loop (compute_surface_mask) dispatches one
+    # independent fn call per CAMERA per chunk with a device-side
+    # jnp.maximum accumulator — the per-camera gathers overlap in the
+    # dispatch pipeline (CLAUDE.md: independent gathers reach 183-190M
+    # rows/s aggregate vs ~24M single-stream). Benchmark that pattern:
+    # camera-inner, chunk-outer, chained only at the chunk boundary.
+    n_cams = 16
+    cam_origins = [
+        jnp.asarray(o) for o in 3.0 * np.stack([
+            np.cos(np.linspace(0, 2 * np.pi, n_cams, endpoint=False)),
+            np.sin(np.linspace(0, 2 * np.pi, n_cams, endpoint=False)),
+            np.full(n_cams, 0.5),
+        ], -1).astype(np.float32)
+    ]
+
     def one(pts):
-        origins, dirs, t_max = make_rays(pts)
-        s = fn(origins, dirs, t_max)
-        return chain(pts, s), s
+        acc = None
+        for origin in cam_origins:
+            origins, dirs, t_max = make_rays(pts, origin)
+            s = fn(origins, dirs, t_max)
+            acc = s if acc is None else jnp.maximum(acc, s)
+        return chain(pts, acc), acc
 
     pts, s = one(pts0)
     jax.block_until_ready(s)
-    iters = 20
+    iters = 4
     t0 = time.time()
     for _ in range(iters):
         pts, s = one(pts)
     jax.block_until_ready(s)
     dt = (time.time() - t0) / iters
-    return chunk / dt, {"ms_per_chunk": round(dt * 1e3, 2), "chunk": chunk}
+    rays_per_s = n_cams * chunk / dt
+
+    # single-stream chained latency (round-3/4 comparable number)
+    def one_chained(pts):
+        origins, dirs, t_max = make_rays(pts, cam_origins[0])
+        s = fn(origins, dirs, t_max)
+        return chain(pts, s), s
+
+    pts, s = one_chained(pts)
+    jax.block_until_ready(s)
+    t0 = time.time()
+    for _ in range(8):
+        pts, s = one_chained(pts)
+    jax.block_until_ready(s)
+    dt_single = (time.time() - t0) / 8
+    return rays_per_s, {
+        "ms_per_cam_chunk_pipelined": round(dt / n_cams * 1e3, 2),
+        "ms_per_chunk_single_stream": round(dt_single * 1e3, 2),
+        "chunk": chunk, "cams_per_chunk": n_cams,
+    }
 
 
 def main() -> None:
