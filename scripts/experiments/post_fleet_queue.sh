@@ -73,6 +73,11 @@ run 7200 python -u scripts/experiments/layout_gate.py
 # minutes, while visibility_effect's exact-ft tail can eat an hour
 run 1800 python -u scripts/perf/probe_render_parts.py
 
+# dispatch-level pipelining race: one lax.map scan vs independent
+# per-chunk dispatches for full-image render (round-4; extraction's
+# camera-inner pattern measured ~3x over the chained single stream)
+run 1800 python -u scripts/perf/probe_render_dispatch.py
+
 if [ -f /tmp/stage3_fleet/regout/stage3/model/model.ckpt ] \
     || ls /tmp/stage3_fleet/regout/stage3/model/*.ckpt >/dev/null 2>&1; then
   export VISFX_ITERS="${VISFX_ITERS:-300}"
