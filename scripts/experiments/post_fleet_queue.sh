@@ -66,17 +66,17 @@ run 1800 python -u bench.py
 # train_ngp_nerf.py CLI (watchdog active), result JSON committed
 run 2400 bash scripts/experiments/cli_train_5k.sh
 
+# dispatch-level pipelining race EARLY (cheap, ~10 min): its verdict
+# gates flipping the eval/image render paths to the host-loop pattern,
+# and the flip needs time to land before round end
+run 1800 python -u scripts/perf/probe_render_dispatch.py
+
 run 7200 python -u scripts/experiments/layout_gate.py
 
 # cheap march/shade decomposition BEFORE the long visibility run: it is
 # the render-ceiling irreducibility evidence (VERDICT r2 #4) and fits in
 # minutes, while visibility_effect's exact-ft tail can eat an hour
 run 1800 python -u scripts/perf/probe_render_parts.py
-
-# dispatch-level pipelining race: one lax.map scan vs independent
-# per-chunk dispatches for full-image render (round-4; extraction's
-# camera-inner pattern measured ~3x over the chained single stream)
-run 1800 python -u scripts/perf/probe_render_dispatch.py
 
 if [ -f /tmp/stage3_fleet/regout/stage3/model/model.ckpt ] \
     || ls /tmp/stage3_fleet/regout/stage3/model/*.ckpt >/dev/null 2>&1; then

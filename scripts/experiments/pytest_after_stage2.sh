@@ -1,0 +1,19 @@
+#!/bin/bash
+# Run the FULL CPU test suite only after the fleet's LAST stage-2
+# extraction has finished: a CPU-heavy pytest stalls TPU host-sync
+# phases (extraction) ~10x (CLAUDE.md) but does not slow dispatch-bound
+# training, so the safe window is stage 3 (RegTr training, device-cached
+# grids). Niced to stay out of the fleet's way entirely.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/.axon_site:/root/repo
+LAST_SCENE="${LAST_SCENE:-scene_15}"
+
+echo "[pytest-watch] waiting for stage2 $LAST_SCENE block_1 ..."
+while ! grep -q "\[stage2\] $LAST_SCENE block_1" /tmp/stage3.log 2>/dev/null; do
+  sleep 120
+done
+echo "[pytest-watch] stage2 complete; running full suite ($(date -u +%H:%M:%S))"
+nice -n 19 python -m pytest tests/ -q > /tmp/pytest_full.log 2>&1
+echo "rc=$?" >> /tmp/pytest_full.log
+tail -5 /tmp/pytest_full.log
