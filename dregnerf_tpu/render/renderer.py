@@ -10,6 +10,7 @@ program regardless of image size.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -44,6 +45,13 @@ class RenderConfig:
     # max_steps). Training uses an adaptive cap (a few x the per-ray
     # budget) so the top_k stays cheap.
     k_cap: int | None = None
+    # full-image chunk execution: "scan" = all chunks in ONE compiled
+    # lax.map program (strictly sequential XLA schedule); "hostloop" =
+    # one independent jit dispatch per chunk (the stage-2 extraction
+    # loop's pattern — through the axon tunnel, back-to-back independent
+    # dispatches avoid per-call serialization; raced on TPU by
+    # scripts/perf/probe_render_dispatch.py).
+    image_dispatch: str = "scan"
 
 
 def render_rays(
@@ -284,7 +292,9 @@ def render_image_chunked(
     `time` renders the whole image at one timestamp (D-NeRF).
 
     Rays are padded to a multiple of chunk_size; chunks are processed with
-    lax.map so the program compiles once.
+    lax.map so the program compiles once — or, with
+    `config.image_dispatch == "hostloop"`, as independent per-chunk jit
+    dispatches (one cached program; see RenderConfig.image_dispatch).
     """
     from dregnerf_tpu.ops.occupancy import pack_regions
 
@@ -313,17 +323,46 @@ def render_image_chunked(
 
     times = None if time is None else jnp.full((cs,), float(time))
 
-    def one_chunk(args):
-        oc, dc = args
-        out, _ = render_rays(
-            params, model_config, grid, oc, dc, aabb, chunk_cfg, background,
-            field=field, times=times, regions=regions,
-        )
-        return out.rgb, out.opacity, out.depth
+    if config.image_dispatch == "hostloop":
+        outs = [
+            _render_chunk_jit(
+                params, model_config, grid, o[i], d[i], aabb, chunk_cfg,
+                background, field, times, regions,
+            )
+            for i in range(n_chunks)
+        ]
+        rgb = jnp.stack([x[0] for x in outs])
+        opacity = jnp.stack([x[1] for x in outs])
+        depth = jnp.stack([x[2] for x in outs])
+    else:
+        def one_chunk(args):
+            oc, dc = args
+            out, _ = render_rays(
+                params, model_config, grid, oc, dc, aabb, chunk_cfg,
+                background, field=field, times=times, regions=regions,
+            )
+            return out.rgb, out.opacity, out.depth
 
-    rgb, opacity, depth = jax.lax.map(one_chunk, (o, d))
+        rgb, opacity, depth = jax.lax.map(one_chunk, (o, d))
     return (
         rgb.reshape(-1, 3)[:n],
         opacity.reshape(-1)[:n],
         depth.reshape(-1)[:n],
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model_config", "config", "field")
+)
+def _render_chunk_jit(
+    params, model_config, grid, oc, dc, aabb, config, background, field,
+    times, regions,
+):
+    """One image chunk as a standalone dispatch; the jit cache is keyed on
+    (model_config, config, field) + shapes, so repeated images reuse one
+    compiled program just like the lax.map path."""
+    out, _ = render_rays(
+        params, model_config, grid, oc, dc, aabb, config, background,
+        field=field, times=times, regions=regions,
+    )
+    return out.rgb, out.opacity, out.depth

@@ -20,10 +20,8 @@ tunnel's identical-arg result cache without serializing intra-image
 chunks):
 
   scan      render_image_chunked (one jitted lax.map program)
-  hostloop  8 independent render_rays dispatches + concat
-  hostloop_interleaved
-            hostloop with per-chunk regions gather order reversed on odd
-            images (sanity: ordering must not matter)
+  hostloop  render_image_chunked with image_dispatch="hostloop" (one
+            independent jit dispatch per chunk — the product switch)
 
 Decision rule: if hostloop wins by >1.3x, flip the eval/image paths
 (validate / eval_ngp_nerf / novel_views) to the host-loop pattern.
@@ -53,9 +51,7 @@ import jax.numpy as jnp
 
 from dregnerf_tpu.models import ngp
 from dregnerf_tpu.ops import occupancy
-from dregnerf_tpu.ops.occupancy import pack_regions
-from dregnerf_tpu.render.renderer import (
-    RenderConfig, render_image_chunked, render_rays)
+from dregnerf_tpu.render.renderer import RenderConfig, render_image_chunked
 
 N_RAYS = int(os.environ.get("PROBE_RAYS", 1 << 16))
 CHUNK = int(os.environ.get("PROBE_CHUNK", 8192))
@@ -76,7 +72,6 @@ def main() -> None:
         buffer_size=CHUNK * 64, max_steps=MAX_STEPS,
         march_compaction="rows", chunk_size=CHUNK,
     )
-    regions = jax.jit(pack_regions)(grid.binary)
     bg = jnp.ones(3)
 
     k1, _ = jax.random.split(key)
@@ -93,12 +88,9 @@ def main() -> None:
         return jnp.clip(
             origins + 1e-4 * (rgb.mean() - 0.5), -3.0, -2.0)
 
-    @jax.jit
-    def render_chunk(params, o, d, regions):
-        out, _ = render_rays(
-            params, cfg, grid, o, d, AABB, rcfg, background=bg,
-            regions=regions)
-        return out.rgb
+    import dataclasses
+
+    rcfg_host = dataclasses.replace(rcfg, image_dispatch="hostloop")
 
     def scan_image(origins):
         rgb, _, _ = render_image_chunked(
@@ -107,12 +99,12 @@ def main() -> None:
         return rgb
 
     def hostloop_image(origins):
-        d = dirs_of(origins)
-        outs = []
-        for i in range(0, N_RAYS, CHUNK):
-            outs.append(render_chunk(
-                params, origins[i:i + CHUNK], d[i:i + CHUNK], regions))
-        return jnp.concatenate(outs)
+        # the PRODUCT path (RenderConfig.image_dispatch switch), so the
+        # measured number is what eval/validate/novel_views would run
+        rgb, _, _ = render_image_chunked(
+            params, cfg, grid, origins, dirs_of(origins), AABB, rcfg_host,
+            bg, eval_buffer_size=CHUNK * 64)
+        return rgb
 
     results = {}
     for name, fn in [("scan", scan_image), ("hostloop", hostloop_image)]:

@@ -280,6 +280,42 @@ class TestRenderer:
         rgb2, op2, _ = render_image_chunked(params, cfg, g, o, d, aabb, rcfg, bg)
         np.testing.assert_allclose(out.rgb, rgb2, atol=1e-5)
 
+    def test_hostloop_dispatch_matches_scan(self, key):
+        """image_dispatch="hostloop" (independent per-chunk dispatches)
+        must match the lax.map scan bit-for-bit — same chunk program,
+        different execution schedule (probe_render_dispatch.py races the
+        two on TPU)."""
+        import dataclasses as dc
+
+        from dregnerf_tpu.models import ngp as ngp_mod
+        from dregnerf_tpu.ops.hash_encoding import HashGridConfig
+        from dregnerf_tpu.render.renderer import (
+            RenderConfig, render_image_chunked)
+
+        cfg = ngp_mod.NGPConfig(
+            grid=HashGridConfig(n_levels=2, log2_table_size=8),
+            compute_dtype=jnp.float32,
+        )
+        params = ngp_mod.init_ngp(key, cfg)
+        rcfg = RenderConfig(
+            render_step_size=0.05, buffer_size=4096, max_steps=128,
+            chunk_size=8, march_compaction="rows",
+        )
+        g = full_grid(8)
+        ks = jax.random.split(key, 2)
+        o = jax.random.uniform(ks[0], (21, 3), minval=-0.3, maxval=0.3) \
+            + jnp.array([0.0, 0.0, -3.0])
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (21, 1))
+        bg = jnp.ones(3)
+        rgb_s, op_s, dep_s = render_image_chunked(
+            params, cfg, g, o, d, AABB, rcfg, bg)
+        rcfg_h = dc.replace(rcfg, image_dispatch="hostloop")
+        rgb_h, op_h, dep_h = render_image_chunked(
+            params, cfg, g, o, d, AABB, rcfg_h, bg)
+        np.testing.assert_allclose(rgb_s, rgb_h, atol=1e-6)
+        np.testing.assert_allclose(op_s, op_h, atol=1e-6)
+        np.testing.assert_allclose(dep_s, dep_h, atol=1e-6)
+
 
 class TestQuotaCompaction:
     def test_quota_matches_compact_render(self, key):
