@@ -139,6 +139,12 @@ def config_parser(argv=None) -> argparse.Namespace:
                         "content-identical to compact in practice, "
                         "tested, no global rank search); 'compact' = "
                         "reference-exact global cut")
+    parser.add_argument("--image_dispatch", type=str, default="scan",
+                        choices=["scan", "hostloop"],
+                        help="full-image render chunk execution: 'scan' = "
+                        "one lax.map program; 'hostloop' = independent "
+                        "per-chunk jit dispatches (raced on TPU by "
+                        "scripts/perf/probe_render_dispatch.py)")
     parser.add_argument("--visibility", type=str, default="grid",
                         choices=["grid", "exact"],
                         help="registration GT overlap labels: 'grid' = "

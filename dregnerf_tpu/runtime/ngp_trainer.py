@@ -203,6 +203,7 @@ class NGPTrainer:
             # content exactly (tested), at none of compact's global-rank
             # search cost.
             k_cap=min(512, cfg.max_march_steps),
+            image_dispatch=getattr(cfg, "image_dispatch", "") or "scan",
         )
 
     def setup_optimizer(self) -> None:

@@ -48,6 +48,8 @@ class Evaluator:
             buffer_size=self.config.sample_budget,
             max_steps=self.config.max_march_steps,
             chunk_size=self.config.test_chunk_size,
+            image_dispatch=getattr(self.config, "image_dispatch", "")
+            or "scan",
         )
         psnrs, ssims, lpipss = [], [], []
         out_dir = os.path.join(self.model_dir, "eval")
