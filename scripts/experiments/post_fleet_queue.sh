@@ -78,6 +78,10 @@ run 7200 python -u scripts/experiments/layout_gate.py
 # minutes, while visibility_effect's exact-ft tail can eat an hour
 run 1800 python -u scripts/perf/probe_render_parts.py
 
+# component-#4 demonstration: full RegEvaluator CLI (artifacts + videos +
+# FGR side-by-side) on the fleet's trained checkpoint, JSONs committed
+run 2400 bash scripts/experiments/cli_eval_regtr.sh
+
 if [ -f /tmp/stage3_fleet/regout/stage3/model/model.ckpt ] \
     || ls /tmp/stage3_fleet/regout/stage3/model/*.ckpt >/dev/null 2>&1; then
   export VISFX_ITERS="${VISFX_ITERS:-300}"
