@@ -211,10 +211,15 @@ class CheckpointManager:
     def load(
         self, templates: Optional[Dict[str, Any]] = None, path: str = ""
     ) -> Optional[Tuple[Dict[str, Any], Dict[str, Any]]]:
-        """latest -> specified -> None (reference load_no_config fallback)."""
+        """latest -> specified -> None (reference load_no_config fallback).
+
+        A directory path resolves to its model.ckpt (latest copy), so
+        `--ckpt_path <run>/model` works like pointing at the file."""
         candidates = [path] if path else []
         candidates.append(self.latest_path)
         for cand in candidates:
+            if cand and os.path.isdir(cand):
+                cand = os.path.join(cand, "model.ckpt")
             if cand and os.path.exists(cand):
                 return load_checkpoint(cand, templates)
         return None

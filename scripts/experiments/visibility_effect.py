@@ -56,7 +56,9 @@ def make_trainer(mode: str, reg_root: str, tag: str):
     train_ds = merged_dataset(reg_root, train_scenes, "train", seed=3)
     val_ds = merged_dataset(reg_root, test_scenes, "test", seed=4)
 
-    base_ckpt = os.path.join(WORK, "regout", "stage3", "model")
+    # the latest converged stage-3 iterate (file, not dir — np.load);
+    # fine-tuning resumes optimizer state from the same artifact
+    base_ckpt = os.path.join(WORK, "regout", "stage3", "model", "model.ckpt")
     cfg = config_parser([
         "--dataset", "objaverse", "--root_dir", reg_root,
         "--expname", f"visfx_{tag}",

@@ -77,6 +77,21 @@ class TestCheckpointRetention:
         mgr.save(7, {"m": {"w": np.ones(1)}}, {})
         assert mgr.latest_step() == 7
 
+    def test_load_accepts_directory_path(self, tmp_path):
+        """--ckpt_path pointing at the model DIRECTORY resolves to its
+        model.ckpt (np.load on a directory would raise otherwise —
+        round-4 visibility_effect latent crash)."""
+        mgr = CheckpointManager(str(tmp_path / "run" / "model"))
+        mgr.save(3, {"m": {"w": np.full(2, 4.0)}}, {})
+        other = CheckpointManager(str(tmp_path / "elsewhere"))
+        loaded = other.load(
+            {"m": {"w": np.zeros(2)}}, path=str(tmp_path / "run" / "model")
+        )
+        assert loaded is not None
+        state, meta = loaded
+        assert meta["step"] == 3
+        np.testing.assert_allclose(state["m"]["w"], 4.0)
+
     def test_best_survives_restart_and_scoreless_saves(self, tmp_path):
         """best_score persists across manager restarts (supervised fleets
         kill+restart trainers), and score=None saves (failure path) never
