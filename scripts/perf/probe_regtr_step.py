@@ -43,8 +43,10 @@ from dregnerf_tpu.runtime.config import config_parser
 from dregnerf_tpu.runtime.reg_trainer import (LOSS_WEIGHTS, compute_losses,
                                               make_reg_model)
 
-R = 128
-N_OCC = 20000  # ~fleet-scale occupied voxel count
+import os
+
+R = int(os.environ.get("PROBE_R", 128))
+N_OCC = int(os.environ.get("PROBE_OCC", 20000))  # ~fleet-scale occupancy
 
 
 def make_batch():
@@ -110,40 +112,45 @@ def main():
         fpn_mod = FeaturePyramid3D(
             arch="resnet50", out_channels=256, dtype=jnp.bfloat16)
 
+        # model params are jit ARGUMENTS everywhere below: the ResNet50-3D
+        # weights closed over as constants would inline into the HLO and
+        # 413 the remote compiler (CLAUDE.md).
         @jax.jit
-        def fpn_fn(b):
+        def fpn_fn(fp, b):
             rgba = b["src_grid"][None, ..., 3:7].astype(jnp.bfloat16)
-            return fpn_mod.apply({"params": fpn_params}, rgba)
+            return fpn_mod.apply({"params": fp}, rgba)
 
         if "fpn" in stages:
-            timeit("fpn", fpn_fn, batch)
+            timeit("fpn", lambda b: fpn_fn(fpn_params, b), batch)
 
         @jax.jit
-        def select_fn(b):
+        def select_fn(fp, b):
             rgba = b["src_grid"][None, ..., 3:7].astype(jnp.bfloat16)
-            f = fpn_mod.apply({"params": fpn_params}, rgba)
+            f = fpn_mod.apply({"params": fp}, rgba)
             idx, valid = masked_select_first_k(b["src_mask"], 16384)
             return gather_trilinear_resized(f, (R, R, R), idx) * valid[:, None]
 
         @jax.jit
-        def select_dense_fn(b):
+        def select_dense_fn(fp, b):
             rgba = b["src_grid"][None, ..., 3:7].astype(jnp.bfloat16)
-            f = fpn_mod.apply({"params": fpn_params}, rgba)
+            f = fpn_mod.apply({"params": fp}, rgba)
             idx, valid = masked_select_first_k(b["src_mask"], 16384)
             up = trilinear_resize(f, (R, R, R))[0].reshape(-1, f.shape[-1])
             return up[idx] * valid[:, None]
 
         if "select" in stages:
-            timeit("select(fpn+sparse)", select_fn, batch)
+            timeit("select(fpn+sparse)",
+                   lambda b: select_fn(fpn_params, b), batch)
         if "select_dense" in stages:
-            timeit("select_dense(fpn+dense)", select_dense_fn, batch)
+            timeit("select_dense(fpn+dense)",
+                   lambda b: select_dense_fn(fpn_params, b), batch)
 
     if "forward" in stages:
         @jax.jit
-        def fwd(b):
-            return model.apply({"params": params["model"]}, b)["pose"]
+        def fwd(p, b):
+            return model.apply({"params": p}, b)["pose"]
 
-        timeit("forward", fwd, batch)
+        timeit("forward", lambda b: fwd(params["model"], b), batch)
 
     if "step" in stages:
         tx = optax.chain(

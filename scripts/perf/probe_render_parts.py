@@ -89,17 +89,20 @@ def main():
             jax.random.PRNGKey(2), (NUM_RAYS, 3), minval=-3.0, maxval=-2.0)
 
         # --- full render (bench methodology) ---
+        # params/regions as jit ARGUMENTS: closed-over 2^19-entry tables
+        # inline into the HLO and 413 the remote compiler (CLAUDE.md).
         @jax.jit
-        def full(o):
+        def full(params, o, regions):
             d = -o / jnp.linalg.norm(o, axis=-1, keepdims=True)
             out, aux = render_rays(params, cfg, grid, o, d, AABB, rcfg,
                                    background=jnp.ones(3), regions=regions)
             nxt = jnp.clip(o + 1e-4 * (out.rgb - 0.5), -3.0, -2.0)
             return nxt, aux["n_samples"]
 
-        carry, n = jax.jit(full)(o0)
+        carry, n = full(params, o0, regions)
         n_samples = int(n)
-        dt_full = timeit(f"{layout}/full", lambda c: full(c)[0], o0,
+        dt_full = timeit(f"{layout}/full",
+                         lambda c: full(params, c, regions)[0], o0,
                          {"n_samples": n_samples})
 
         # --- march only ---
@@ -128,7 +131,7 @@ def main():
         jax.block_until_ready(rows0)
 
         @jax.jit
-        def shade(o, rows):
+        def shade(params, o, rows):
             d = -o / jnp.linalg.norm(o, axis=-1, keepdims=True)
             pos, dirs = row_sample_positions(rows, o, d)
             rgbs, sigmas = ngp.forward(params, pos, dirs, AABB, cfg)
@@ -139,7 +142,8 @@ def main():
             nxt = jnp.clip(o + 1e-4 * (out.rgb - 0.5), -3.0, -2.0)
             return nxt
 
-        dt_shade = timeit(f"{layout}/shade", lambda o: shade(o, rows0), o0)
+        dt_shade = timeit(f"{layout}/shade",
+                          lambda o: shade(params, o, rows0), o0)
 
         print(json.dumps({
             "stage": f"{layout}/summary",
