@@ -503,6 +503,11 @@ class NGPTrainer:
             "alpha_thre": 0.0,
             "cone_angle": cfg.cone_angle,
             "max_march_steps": int(cfg.max_march_steps),
+            # adaptive pow2 ray bucket: restored on resume so a
+            # watchdog/supervisor restart re-enters the settled bucket
+            # instead of re-adapting from init_num_rays (each bucket it
+            # climbs through is a fresh compile through the tunnel)
+            "num_rays": int(self.num_rays),
             "camera_poses": np.asarray(self.scene.camtoworlds).tolist(),
             "block_id": self.scene.block_id,
             "field": getattr(self.config, "field", "ngp"),
@@ -543,7 +548,9 @@ class NGPTrainer:
             occs=jnp.asarray(state["occupancy"]["occs"]),
             binary=jnp.asarray(state["occupancy"]["binary"]),
         )
-        print(f"resumed from step {meta['step']}", flush=True)
+        self.num_rays = int(meta.get("num_rays", self.num_rays))
+        print(f"resumed from step {meta['step']} "
+              f"(ray bucket {self.num_rays})", flush=True)
         return int(meta["step"])
 
 

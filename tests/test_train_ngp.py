@@ -110,6 +110,20 @@ class TestTraining:
         mgr = trainer.ckpt_manager
         assert mgr.latest_step() == 120
 
+    def test_resume_restores_ray_bucket(self, trained):
+        """A supervisor restart must re-enter the SETTLED pow2 ray bucket
+        (each bucket climbed through is a fresh tunnel compile — round-4
+        watchdog-restart observation)."""
+        from dregnerf_tpu.runtime.ngp_trainer import NGPTrainer
+
+        trainer, cfg, out = trained
+        fresh = NGPTrainer(cfg, trainer.scene, trainer.val_scene,
+                           output_dir=trainer.output_dir)
+        assert fresh.num_rays == int(cfg.init_num_rays)
+        step = fresh.load_checkpoint()
+        assert step == 120
+        assert fresh.num_rays == trainer.num_rays
+
 
 def test_dynamic_ray_bucket_is_pow2():
     from dregnerf_tpu.runtime import ngp_trainer  # noqa: F401  (import check)
