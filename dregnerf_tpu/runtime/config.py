@@ -139,6 +139,11 @@ def config_parser(argv=None) -> argparse.Namespace:
                         "content-identical to compact in practice, "
                         "tested, no global rank search); 'compact' = "
                         "reference-exact global cut")
+    parser.add_argument("--val_fraction", type=float, default=0.2,
+                        help="fraction of the val set per RegTr validation "
+                        "(reference subsamples 20%%); use 1.0 on small "
+                        "held-out sets so model_best selection is not a "
+                        "1-pair draw of luck")
     parser.add_argument("--image_dispatch", type=str, default="scan",
                         choices=["scan", "hostloop"],
                         help="full-image render chunk execution: 'scan' = "

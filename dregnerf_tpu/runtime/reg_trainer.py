@@ -605,11 +605,19 @@ class RegTrainer:
                     wd.beat()
         self.save_checkpoint(score)
 
-    def validate(self, fraction: float = 0.2) -> float:
-        """RRE/RTE on a random val subsample (train_nerf_regtr.py:258-291)."""
+    def validate(self, fraction: float | None = None) -> float:
+        """RRE/RTE on a random val subsample (train_nerf_regtr.py:258-291).
+
+        `fraction` defaults to --val_fraction. Small held-out sets should
+        use 1.0: the returned -mean(RRE) drives model_best selection, and
+        a 1-pair subsample makes "best" a draw of luck (the round-2
+        final-vs-best 6.1-vs-0.03 deg gap was diagnosed exactly there).
+        """
         n = len(self.val_dataset)
         if n == 0:
             return 0.0
+        if fraction is None:
+            fraction = float(getattr(self.config, "val_fraction", 0.2))
         rng = np.random.default_rng(self.iteration)
         ids = rng.choice(n, max(1, int(n * fraction)), replace=False)
         rres, rtes = [], []

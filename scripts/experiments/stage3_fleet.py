@@ -266,6 +266,9 @@ def stage3(reg_root):
         "--epochs", str(epochs),
         "--n_tensorboard", "100", "--n_validation", "500",
         "--n_checkpoint", "1000", "--lr", "1e-4",
+        # 4 held-out scenes: validate on ALL of them — model_best drives
+        # the headline eval and a 1-pair subsample is a draw of luck
+        "--val_fraction", "1.0",
     ])
     trainer = RT.RegTrainer(cfg, train_ds, val_ds)
 
