@@ -53,7 +53,10 @@ NGP_BUDGET = int(os.environ.get("STAGE3_BUDGET", 1 << 17))
 # fleet trains at a reference-like pixel regime by default.
 N_VIEWS = int(os.environ.get("STAGE3_VIEWS", 100))
 IMG_SIZE = int(os.environ.get("STAGE3_IMG", 192))
-REG_ITERS = int(os.environ.get("STAGE3_REG_ITERS", 8000))
+# 12k iters (round 4): at ~0.3 s/iter this is ~1 h of stage 3 — the
+# queue budget absorbs it, and the val curve (committed every 500) shows
+# whether held-out RRE is still improving at the tail
+REG_ITERS = int(os.environ.get("STAGE3_REG_ITERS", 12000))
 WORK = os.environ.get("STAGE3_WORK", "/tmp/stage3_fleet")
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "experiments", "stage3")
