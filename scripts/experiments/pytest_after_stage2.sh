@@ -13,7 +13,15 @@ echo "[pytest-watch] waiting for stage2 $LAST_SCENE block_1 ..."
 while ! grep -q "\[stage2\] $LAST_SCENE block_1" /tmp/stage3.log 2>/dev/null; do
   sleep 120
 done
-echo "[pytest-watch] stage2 complete; running full suite ($(date -u +%H:%M:%S))"
+# stage-3 STARTUP is host-heavy too (24x voxel-grid torch.load + fresh
+# RegTr compiles through the tunnel): wait until training is actually
+# underway (first logged iteration), then a margin for the val compile
+echo "[pytest-watch] stage2 complete; waiting for stage-3 training ..."
+while ! grep -qE "^iter [0-9]+ \|" /tmp/stage3.log 2>/dev/null; do
+  sleep 120
+done
+sleep 600
+echo "[pytest-watch] stage-3 underway; running full suite ($(date -u +%H:%M:%S))"
 nice -n 19 python -m pytest tests/ -q > /tmp/pytest_full.log 2>&1
 echo "rc=$?" >> /tmp/pytest_full.log
 tail -5 /tmp/pytest_full.log
