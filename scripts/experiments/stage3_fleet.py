@@ -181,7 +181,15 @@ def stage1_and_2():
                 trainer._step_fns = {}
                 trainer.__dict__.pop("_occ_update_fns", None)
                 trainer.train()
-                psnr = trainer.validate(step=NGP_ITERS)
+                # post-train validate runs OUTSIDE trainer.train()'s
+                # watchdog; a tunnel wedge here (observed 03:19 round 4)
+                # otherwise waits for the supervisor's 2400s log-stall
+                # window. 900s >> validate (~30s) and > a post-VM-restart
+                # fresh render compile.
+                from dregnerf_tpu.runtime.resilience import Watchdog
+
+                with Watchdog(900, name=f"{scene}-val"):
+                    psnr = trainer.validate(step=NGP_ITERS)
                 print(f"[stage1] {scene} block_{k}: val PSNR {psnr:.2f} "
                       f"({time.time() - t0:.0f}s)", flush=True)
                 os.makedirs(OUT, exist_ok=True)
@@ -207,13 +215,18 @@ def stage1_and_2():
                 extract_voxel_features, save_voxel_artifacts)
             from dregnerf_tpu.runtime.ngp_trainer import (
                 load_field_from_checkpoint)
+            from dregnerf_tpu.runtime.resilience import Watchdog
 
             params, grid, meta, model_cfg, _rc = (
                 load_field_from_checkpoint(ckpt))
-            ex = extract_voxel_features(
-                params, model_cfg, grid, meta, jax.random.PRNGKey(7),
-                surface_chunk=8192,
-            )
+            # extraction is ~75s warm; 900s watchdog converts an unwatched
+            # tunnel wedge into a supervisor restart (artifacts re-extract
+            # from the cached checkpoint)
+            with Watchdog(900, name=f"{scene}-extract"):
+                ex = extract_voxel_features(
+                    params, model_cfg, grid, meta, jax.random.PRNGKey(7),
+                    surface_chunk=8192,
+                )
             save_voxel_artifacts(out_dir, ex)
             n = int((ex["surface_mask"] & ex["density_mask"]).sum())
             print(f"[stage2] {scene} block_{k}: {n} surface voxels", flush=True)
@@ -319,9 +332,14 @@ def evaluate(trainer, val_ds, test_scenes):
     print(f"[eval] checkpoint: {eval_ckpt}", flush=True)
 
     os.makedirs(OUT, exist_ok=True)
+    from dregnerf_tpu.runtime.resilience import Watchdog
+
     reg_rows, fgr_rows = [], []
+    wd = Watchdog(900, name="stage3-eval")
+    wd.__enter__()
     for i in range(len(val_ds)):
         for draw in range(3):  # several block orderings per scene
+            wd.beat()
             val_ds.rng = np.random.default_rng(1000 * i + draw)
             item = val_ds[i]
             batch = trainer._to_device(item)
@@ -351,6 +369,8 @@ def evaluate(trainer, val_ds, test_scenes):
                     "RRE": 180.0, "RTE": 10.0, "error": "fgr failed",
                     "time_s": dt_fgr,
                 })
+
+    wd.__exit__(None, None, None)
 
     def agg(rows):
         r = np.array([x["RRE"] for x in rows])
