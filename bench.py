@@ -15,6 +15,7 @@ numbers land):
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import tempfile
 import time
@@ -25,26 +26,42 @@ BASELINE_RENDER = 1e8
 BASELINE_TRAIN = 1e7
 BASELINE_EXTRACT = 1e6
 
+# BENCH_SMOKE=1: tiny shapes on CPU — validates every code path this file
+# exercises (the driver runs bench.py unattended at round end; a crash
+# there silences the headline artifact) without occupying the TPU tunnel.
+# Numbers printed under smoke are meaningless; `smoke: true` marks them.
+SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0")))
+
+
+def _p(real, smoke):
+    return smoke if SMOKE else real
+
 
 def bench_render(jax, jnp):
     from dregnerf_tpu.models import ngp
     from dregnerf_tpu.ops import occupancy
     from dregnerf_tpu.render.renderer import RenderConfig, render_rays
 
+    import dataclasses
+
     cfg = ngp.NGPConfig()  # full instant-ngp sizing, bf16 compute
+    if SMOKE:
+        cfg = dataclasses.replace(
+            cfg, grid=dataclasses.replace(cfg.grid, log2_table_size=12))
     key = jax.random.PRNGKey(0)
     params = ngp.init_ngp(key, cfg)
     aabb = jnp.array([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5])
-    binary = jax.random.uniform(jax.random.PRNGKey(1), (128, 128, 128)) < 0.25
-    grid = occupancy.init_grid(128)._replace(binary=binary)
+    res = _p(128, 32)
+    binary = jax.random.uniform(jax.random.PRNGKey(1), (res, res, res)) < 0.25
+    grid = occupancy.init_grid(res)._replace(binary=binary)
     rcfg = RenderConfig(
-        render_step_size=float(3.0 * 3**0.5 / 1024),
-        buffer_size=1 << 18,
-        max_steps=1024,
+        render_step_size=float(3.0 * 3**0.5 / _p(1024, 64)),
+        buffer_size=_p(1 << 18, 1 << 12),
+        max_steps=_p(1024, 64),
         march_compaction="rows",
     )
 
-    num_rays = 4096
+    num_rays = _p(4096, 64)
     k1, _ = jax.random.split(key)
     origins = jax.random.uniform(k1, (num_rays, 3), minval=-3.0, maxval=-2.0)
 
@@ -65,7 +82,7 @@ def bench_render(jax, jnp):
 
     origins, rgb, n = render(params, origins, regions)
     jax.block_until_ready(rgb)
-    iters = 10
+    iters = _p(10, 2)
     t0 = time.time()
     for _ in range(iters):
         origins, rgb, n = render(params, origins, regions)
@@ -91,18 +108,18 @@ def bench_train(jax, jnp):
     root = tempfile.mkdtemp(prefix="bench_train_")
     out = tempfile.mkdtemp(prefix="bench_train_out_")
     try:
-        fixtures.make_scene(root, num_views=36, image_size=128)
+        fixtures.make_scene(root, num_views=_p(36, 6), image_size=_p(128, 32))
         scene = load_scene_blocks("objaverse", root, "fixture_scene", "train")[0]
         cfg = config_parser([
             "--dataset", "objaverse", "--root_dir", root,
             "--scene", "fixture_scene", "--expname", "bench", "--out_dir", out,
             "--factor", "1", "--aabb=-1.0,-1.0,-1.0,1.0,1.0,1.0",
             "--max_iterations", "100000",
-            "--sample_budget", str(1 << 18),
-            "--max_march_steps", "1024",
-            "--grid_resolution", "128",
-            "--init_num_rays", "4096",
-            "--max_num_rays", str(1 << 15),
+            "--sample_budget", str(_p(1 << 18, 1 << 12)),
+            "--max_march_steps", str(_p(1024, 64)),
+            "--grid_resolution", str(_p(128, 32)),
+            "--init_num_rays", str(_p(4096, 64)),
+            "--max_num_rays", str(_p(1 << 15, 256)),
         ])
         from dregnerf_tpu.runtime.ngp_trainer import OCC_WARMUP_STEPS
 
@@ -117,8 +134,10 @@ def bench_train(jax, jnp):
         # steady, round-4 probe_trainer_wall) — steady-state throughput is
         # the honest number and what a 10k-iteration block actually runs at.
         step, stable, bucket = 0, 0, -1
-        min_steps = OCC_WARMUP_STEPS + 1  # first steady occ update compiled
-        while step < max(400, min_steps) and (stable < 24 or step < min_steps):
+        min_steps = _p(OCC_WARMUP_STEPS + 1, 8)  # first steady occ update
+        need_stable = _p(24, 0)
+        while step < max(_p(400, 8), min_steps) and (
+                stable < need_stable or step < min_steps):
             m = trainer.train_iteration(step, key)
             step += 1
             nr = int(m["num_rays"])
@@ -127,7 +146,7 @@ def bench_train(jax, jnp):
         bucket_settled = stable >= 24  # ADVICE r3: flag an unsettled window
         warmup_steps = step
         jax.block_until_ready(m["loss"])
-        iters = 32
+        iters = _p(32, 4)
         counts = []  # device scalars; summed AFTER timing (no per-step sync)
         t0 = time.time()
         for step in range(step, step + iters):
@@ -158,19 +177,26 @@ def bench_extract(jax, jnp):
     from dregnerf_tpu.ops import occupancy
     from dregnerf_tpu.render.renderer import RenderConfig
 
+    import dataclasses
+
     cfg = ngp.NGPConfig()
+    if SMOKE:
+        cfg = dataclasses.replace(
+            cfg, grid=dataclasses.replace(cfg.grid, log2_table_size=12))
     key = jax.random.PRNGKey(0)
     params = ngp.init_ngp(key, cfg)
     params = jax.jit(lambda p: ngp.prepare_params(p, cfg))(params)
     aabb = jnp.array([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5])
-    binary = jax.random.uniform(jax.random.PRNGKey(1), (128, 128, 128)) < 0.25
-    grid = occupancy.init_grid(128)._replace(binary=binary)
+    res = _p(128, 32)
+    binary = jax.random.uniform(jax.random.PRNGKey(1), (res, res, res)) < 0.25
+    grid = occupancy.init_grid(res)._replace(binary=binary)
     rcfg = RenderConfig(
-        render_step_size=float(3.0 * 3**0.5 / 1024), max_steps=1024
+        render_step_size=float(3.0 * 3**0.5 / _p(1024, 64)),
+        max_steps=_p(1024, 64),
     )
 
-    chunk = 8192
-    samples_per_ray = 64
+    chunk = _p(8192, 256)
+    samples_per_ray = _p(64, 16)
     # buffer must satisfy chunk <= buffer // samples_per_ray or the march
     # silently zeroes trailing rays (sample_grid.py cap contract).
     fn = make_surface_chunk_fn(
@@ -199,7 +225,7 @@ def bench_extract(jax, jnp):
     # dispatch pipeline (CLAUDE.md: independent gathers reach 183-190M
     # rows/s aggregate vs ~24M single-stream). Benchmark that pattern:
     # camera-inner, chunk-outer, chained only at the chunk boundary.
-    n_cams = 16
+    n_cams = _p(16, 2)
     cam_origins = [
         jnp.asarray(o) for o in 3.0 * np.stack([
             np.cos(np.linspace(0, 2 * np.pi, n_cams, endpoint=False)),
@@ -218,7 +244,7 @@ def bench_extract(jax, jnp):
 
     pts, s = one(pts0)
     jax.block_until_ready(s)
-    iters = 4
+    iters = _p(4, 1)
     t0 = time.time()
     for _ in range(iters):
         pts, s = one(pts)
@@ -234,11 +260,12 @@ def bench_extract(jax, jnp):
 
     pts, s = one_chained(pts)
     jax.block_until_ready(s)
+    single_iters = _p(8, 2)
     t0 = time.time()
-    for _ in range(8):
+    for _ in range(single_iters):
         pts, s = one_chained(pts)
     jax.block_until_ready(s)
-    dt_single = (time.time() - t0) / 8
+    dt_single = (time.time() - t0) / single_iters
     return rays_per_s, {
         "ms_per_cam_chunk_pipelined": round(dt / n_cams * 1e3, 2),
         "ms_per_chunk_single_stream": round(dt_single * 1e3, 2),
@@ -249,6 +276,12 @@ def bench_extract(jax, jnp):
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    if SMOKE:
+        # crash-validation run: stay OFF the TPU tunnel (env vars are too
+        # late under the axon sitecustomize — config.update after import
+        # is the working override, CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/dregnerf_jax_cache")
@@ -265,6 +298,8 @@ def main() -> None:
             return 0.0, {"error": f"{name}: {type(e).__name__}: {e}"[:300]}
 
     train_sps, train_detail = fenced(bench_train, "train")
+    if SMOKE:
+        train_detail["smoke"] = True
     print(json.dumps({
         "metric": "ngp_train_samples_per_s", "value": round(train_sps),
         "unit": "samples/s",
@@ -273,6 +308,8 @@ def main() -> None:
     }), flush=True)
 
     extract_rps, extract_detail = fenced(bench_extract, "extract")
+    if SMOKE:
+        extract_detail["smoke"] = True
     print(json.dumps({
         "metric": "extract_surface_rays_per_s", "value": round(extract_rps),
         "unit": "rays/s",
@@ -281,6 +318,8 @@ def main() -> None:
     }), flush=True)
 
     render_sps, render_detail = bench_render(jax, jnp)
+    if SMOKE:
+        render_detail["smoke"] = True
     render_detail.update({
         "device": str(jax.devices()[0]),
         "train_samples_per_s": round(train_sps),
