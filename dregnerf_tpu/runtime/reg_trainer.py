@@ -568,9 +568,22 @@ class RegTrainer:
         # Hang watchdog: same failure mode + recovery as NGPTrainer.train
         # (futex wedge through the tunnel -> hard exit -> supervisor
         # restart -> resume from latest checkpoint).
+        # Optional wall-clock cutoff (epoch seconds): a fleet running
+        # against a fixed round end stops training early so the held-out
+        # eval still gets its window (a trained-but-unevaluated model is
+        # worth nothing to the round). model_best selection makes the
+        # truncation safe: the eval uses the best validated iterate.
+        deadline = getattr(self, "train_deadline", None)
         with Watchdog(getattr(cfg, "watchdog_s", 1200),
                       name=cfg.expname) as wd:
             while self.iteration < max_iterations:
+                if deadline is not None and time.time() >= deadline:
+                    print(
+                        f"[reg_trainer] train deadline reached at iteration "
+                        f"{self.iteration}/{max_iterations} — stopping early",
+                        flush=True,
+                    )
+                    break
                 order = rng.permutation(len(self.train_dataset))
                 if bsz > 1:
                     order = order[: len(order) - len(order) % bsz].reshape(-1, bsz)
@@ -601,6 +614,8 @@ class RegTrainer:
                     if self.iteration % cfg.n_checkpoint == 0:
                         self.save_checkpoint(score)
                     if self.iteration >= max_iterations:
+                        break
+                    if deadline is not None and time.time() >= deadline:
                         break
                     wd.beat()
         self.save_checkpoint(score)

@@ -305,8 +305,35 @@ def stage3(reg_root):
         commit_progress(f"stage3 val@{iteration}: {score:.3f}")
 
     trainer.on_validate = on_validate
+    trainer.train_deadline = _train_deadline()
     trainer.train()
     return trainer, val_ds, test_scenes
+
+
+def _train_deadline():
+    """Wall-clock cutoff (epoch s) for stage-3 training, or None.
+
+    Sources, in order: STAGE3_TRAIN_DEADLINE env, then
+    experiments/stage3/train_deadline_epoch.txt. The file is only honored
+    while FRESH (< 6 h old): it encodes THIS round's end, and a stale
+    copy left in the repo must not zero out the next round's training."""
+    val = os.environ.get("STAGE3_TRAIN_DEADLINE")
+    if val is None:
+        path = os.path.join(OUT, "train_deadline_epoch.txt")
+        try:
+            if time.time() - os.path.getmtime(path) < 6 * 3600:
+                with open(path) as f:
+                    val = f.read().strip()
+            else:
+                print(f"[stage3] ignoring stale {path}", flush=True)
+        except OSError:
+            return None
+    if not val:
+        return None
+    deadline = float(val)
+    print(f"[stage3] train deadline in "
+          f"{(deadline - time.time()) / 60:.1f} min", flush=True)
+    return deadline
 
 
 def evaluate(trainer, val_ds, test_scenes):

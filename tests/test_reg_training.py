@@ -347,6 +347,23 @@ class TestRegTrainerLoop:
                 float(m_h[k]), float(m_d[k]), rtol=1e-4, atol=1e-5,
                 err_msg=k)
 
+    def test_train_deadline_stops_before_first_iteration(self, trainer):
+        # Wall-clock cutoff (fleet round-end insurance): a deadline already
+        # in the past must stop train() before it runs a single iteration,
+        # but still write the final checkpoint.
+        import time as _time
+
+        it0 = trainer.iteration
+        trainer.train_deadline = _time.time() - 1.0
+        trainer.on_validate = None
+        try:
+            trainer.train()
+        finally:
+            trainer.train_deadline = None
+        assert trainer.iteration == it0
+        assert os.path.exists(
+            os.path.join(trainer.output_dir, "model", "model.ckpt"))
+
     def test_validate_and_checkpoint(self, trainer):
         score = trainer.validate(fraction=1.0)
         assert np.isfinite(score)
