@@ -114,7 +114,14 @@ def infonce_loss(
     ignore = d < r_n
     ignore = ignore.at[jnp.arange(d.shape[0]), idx1].set(False)
     ignore = ignore | ~positive_valid[None, :]
-    masked_logits = jnp.where(ignore, -jnp.inf, logits)
+    # Finite sentinel, NOT -inf: a draw with positive_valid all-False makes
+    # every row all-masked, and logsumexp of an all--inf row has a NaN VJP
+    # that survives the value-level isfinite guard (0 * NaN = NaN) and
+    # poisons the whole gradient (observed: stage-3 NaN at ~iter 6700).
+    # With a finite sentinel all intermediates are finite, so masked rows
+    # get exactly-zero gradients through the has_match cotangent.
+    neg = jnp.asarray(-1e9, logits.dtype)
+    masked_logits = jnp.where(ignore, neg, logits)
 
     pos_logit = jnp.take_along_axis(masked_logits, idx1[:, None], axis=-1)[:, 0]
     loss = -pos_logit + jax.nn.logsumexp(masked_logits, axis=-1)

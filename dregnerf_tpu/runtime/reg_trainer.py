@@ -324,11 +324,31 @@ class RegTrainer:
             (total, (losses, pose_pred)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            # Nonfinite-step guard: one degenerate draw must not poison the
+            # run (stage-3 round-4 fleet NaN'd at ~iter 6700 from a single
+            # bad gradient). If any grad or the loss is nonfinite, keep
+            # params/opt_state unchanged and flag it in the metrics.
+            leaves = jax.tree_util.tree_leaves(grads)
+            finite = jnp.isfinite(total)
+            for g in leaves:
+                finite = finite & jnp.all(jnp.isfinite(g))
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+            )
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), new_params, params
+            )
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old),
+                new_opt_state, opt_state,
+            )
             gt = batch["pose"][:3, :4] if batch_size == 1 else batch["pose"][0, :3, :4]
             rre, rte = se3.pose_error(pose_pred, gt)
-            metrics = {**losses, "total": total, "R_error": rre, "t_error": rte}
+            metrics = {**losses, "total": total, "R_error": rre,
+                       "t_error": rte,
+                       "skipped_nonfinite": (~finite).astype(jnp.float32)}
             return params, opt_state, metrics
 
         self._reg_step_impl = step  # reused by the augmented-step variant

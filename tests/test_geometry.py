@@ -146,3 +146,72 @@ class TestCameras:
         np.testing.assert_allclose(
             jnp.linalg.norm(r.viewdirs, axis=-1), np.ones(32), atol=1e-5
         )
+
+
+class TestICP:
+    """ICP refinement (registration/icp.py) — reference parity for
+    refine_registration (global_registration.py:85-92)."""
+
+    def _shell(self, rng, n=3000):
+        sph = rng.normal(size=(n, 3))
+        sph /= np.linalg.norm(sph, axis=1, keepdims=True)
+        pts = sph * np.array([0.5, 0.35, 0.25])
+        pts[: n // 4] = rng.normal(size=(n // 4, 3)) * 0.04 + np.array(
+            [0.45, 0.3, 0.1]
+        )
+        return pts.astype(np.float32)
+
+    def _pose(self, deg, t):
+        from scipy.spatial.transform import Rotation as R
+
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R.from_euler("xyz", deg, degrees=True).as_matrix()
+        T[:3, 3] = t
+        return T
+
+    def test_icp_converges_from_coarse_init(self):
+        from dregnerf_tpu.registration.icp import icp_refine
+
+        rng = np.random.default_rng(3)
+        src = self._shell(rng)
+        gt = self._pose([40, -25, 70], [0.2, -0.1, 0.15])
+        tgt = src @ gt[:3, :3].T + gt[:3, 3]
+        # init ~12 deg / 0.05 off the truth — a RegTr-quality init
+        off = self._pose([8, -5, 7], [0.03, 0.02, -0.03])
+        init = (off @ gt)[:3, :4]
+        pose, rms, cnt = icp_refine(src, tgt, init, voxel_size=0.05, seed=1)
+        assert pose is not None and cnt > 500
+        rre, rte = se3.pose_error(
+            jnp.asarray(pose), jnp.asarray(gt[:3, :4])
+        )
+        assert float(rre) < 0.5, float(rre)
+        assert float(rte) < 0.01, float(rte)
+        assert rms < 0.05
+
+    def test_icp_partial_overlap_and_padding(self):
+        from dregnerf_tpu.registration.icp import icp_refine
+
+        rng = np.random.default_rng(4)
+        src = self._shell(rng, n=2500)
+        gt = self._pose([15, 30, -10], [0.1, 0.0, -0.05])
+        tgt_full = src @ gt[:3, :3].T + gt[:3, 3]
+        # 70% overlap: drop a cap of the target + small count (pads)
+        keep = tgt_full[:, 0] < np.quantile(tgt_full[:, 0], 0.7)
+        tgt = tgt_full[keep]
+        off = self._pose([6, -4, 5], [0.02, -0.02, 0.01])
+        init = (off @ gt)[:3, :4]
+        pose, _, cnt = icp_refine(
+            src, tgt, init, voxel_size=0.05, n_points=4096, seed=2
+        )
+        assert pose is not None and cnt > 100
+        rre, rte = se3.pose_error(jnp.asarray(pose), jnp.asarray(gt[:3, :4]))
+        assert float(rre) < 2.0, float(rre)
+        assert float(rte) < 0.03, float(rte)
+
+    def test_icp_degenerate_returns_none(self):
+        from dregnerf_tpu.registration.icp import icp_refine
+
+        pose, _, _ = icp_refine(
+            np.zeros((2, 3)), np.ones((2, 3)), np.eye(4)[:3], seed=0
+        )
+        assert pose is None

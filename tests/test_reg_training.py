@@ -115,6 +115,31 @@ class TestLosses:
         loss = L.infonce_loss(jnp.eye(4), feats, feats, a, b, valid, valid)
         assert np.isfinite(float(loss))
 
+    def test_infonce_all_invalid_grad_finite(self, rng):
+        """Regression: positive_valid all-False used to make every row of the
+        masked logits all -inf; logsumexp's VJP then emitted NaN that the
+        value-level isfinite guard could not stop (0 * NaN = NaN), NaN-ing
+        the whole gradient (stage-3 divergence at ~iter 6700)."""
+        n, d = 8, 4
+        feats = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        xyz = jnp.asarray(rng.uniform(-1, 1, (n, 3)), jnp.float32)
+        valid = jnp.ones(n, bool)
+
+        def f(W, fa, fb):
+            return L.infonce_loss(
+                W, fa, fb, xyz, xyz, valid, jnp.zeros(n, bool)
+            )
+
+        g = jax.grad(f, argnums=(0, 1, 2))(jnp.eye(d), feats, feats)
+        for gi in g:
+            assert np.all(np.isfinite(np.asarray(gi)))
+        # and the valid-positives path still has live gradients
+        gW = jax.grad(
+            lambda W: L.infonce_loss(W, feats, feats, xyz, xyz, valid, valid)
+        )(jnp.eye(d))
+        assert np.all(np.isfinite(np.asarray(gW)))
+        assert float(jnp.abs(gW).sum()) > 0.0
+
     def test_grid_visibility_lookup(self):
         from dregnerf_tpu.losses.visibility import grid_visibility
 
@@ -517,6 +542,23 @@ def test_batched_reg_step_matches_metrics_shape(pair_root):
     assert np.isfinite(float(m["total"]))
     for k in ("overlap", "nerf_cont", "feature", "corr"):
         assert k in m
+    assert float(m["skipped_nonfinite"]) == 0.0
+
+    # Regression (round-4 stage-3 NaN at ~iter 6700): a draw that produces a
+    # nonfinite loss/gradient must NOT update params — the guarded step keeps
+    # the old params/opt_state and raises the skipped_nonfinite flag.
+    before = jax.tree_util.tree_map(np.asarray, tr.params)
+    bad = ds[0]
+    bad = dict(bad)
+    bad["src_grid"] = np.asarray(bad["src_grid"]).copy()
+    bad["src_grid"][..., 3:] = np.nan
+    m_bad = tr.train_iteration_batch([bad, ds[0]])
+    assert float(m_bad["skipped_nonfinite"]) == 1.0
+    after = jax.tree_util.tree_map(np.asarray, tr.params)
+    for b, a in zip(
+        jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)
+    ):
+        np.testing.assert_array_equal(b, a)
 
 
 def test_exact_visibility_fns_from_checkpoints(tmp_path, key):
