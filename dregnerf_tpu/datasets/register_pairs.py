@@ -246,7 +246,14 @@ class NeRFRegDataset:
     def __getitem__(self, index: int) -> Dict:
         scene = self.meta[index]
         blocks = list(range(len(scene["blocks"])))
-        self.rng.shuffle(blocks)
+        fixed = getattr(self, "fixed_order", None)
+        if fixed is not None:
+            # deterministic evaluation: use this (src, tgt, ...) block order
+            # instead of an rng shuffle (a 2-block scene has only 2 distinct
+            # orderings, so random "draws" are near-duplicates)
+            blocks = list(fixed) + [b for b in blocks if b not in fixed]
+        else:
+            self.rng.shuffle(blocks)
         src_b, tgt_b = scene["blocks"][blocks[0]], scene["blocks"][blocks[1]]
 
         src_grid, src_mask = self._load_block(src_b)
