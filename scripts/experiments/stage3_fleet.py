@@ -274,24 +274,54 @@ def stage3(reg_root):
     train_ds = merged_dataset(reg_root, train_scenes, "train", seed=3)
     val_ds = merged_dataset(reg_root, test_scenes, "test", seed=4)
 
+    expname = os.environ.get("STAGE3_EXPNAME", "stage3")
+    lr = os.environ.get("STAGE3_LR", "1e-4")
     epochs = max(1, REG_ITERS // len(train_ds))
     cfg = config_parser([
         "--dataset", "objaverse", "--root_dir", reg_root,
-        "--expname", "stage3", "--out_dir", os.path.join(WORK, "regout"),
+        "--expname", expname, "--out_dir", os.path.join(WORK, "regout"),
         "--aabb=-1.0,-1.0,-1.0,1.0,1.0,1.0", "--robust_loss",
         "--epochs", str(epochs),
         "--n_tensorboard", "100", "--n_validation", "500",
-        "--n_checkpoint", "1000", "--lr", "1e-4",
+        "--n_checkpoint", "1000", "--lr", lr,
         # 4 held-out scenes: validate on ALL of them — model_best drives
         # the headline eval and a 1-pair subsample is a draw of luck
         "--val_fraction", "1.0",
     ])
     trainer = RT.RegTrainer(cfg, train_ds, val_ds)
 
+    # LR schedule sized to THIS run: the default RegTrainer boundaries
+    # (34k-step halvings, reference-parity for 131k-iter training) never
+    # fire inside a 12-15k fleet run — the round-4 divergence rode a
+    # flat 1e-4 to iter 6700. Halve at 50% / 75% of the actual horizon.
+    import optax
+
+    sched = optax.piecewise_constant_schedule(
+        float(lr), {int(REG_ITERS * 0.5): 0.5, int(REG_ITERS * 0.75): 0.5})
+    trainer.optimizer = optax.chain(
+        optax.clip_by_global_norm(0.1),
+        optax.adamw(sched, weight_decay=1e-4))
+    trainer.opt_state = trainer.optimizer.init(trainer.params)
+    trainer._step_fn = trainer._make_step_fn()
+    trainer._aug_step_fn = None  # lazily rebuilt against the new optimizer
+
+    # Warm start (STAGE3_WARM=<ckpt>): initialize params from a previous
+    # run's best checkpoint — but ONLY when this run has no checkpoint of
+    # its own yet, so a supervisor restart still resumes its own latest.
+    warm = os.environ.get("STAGE3_WARM", "")
+    if warm and not os.path.exists(trainer.ckpt_manager.latest_path):
+        from dregnerf_tpu.runtime.checkpoint import load_checkpoint
+
+        state, meta = load_checkpoint(warm, {"params": trainer.params})
+        trainer.params = state["params"]
+        trainer.opt_state = trainer.optimizer.init(trainer.params)
+        print(f"[stage3] warm start from {warm} "
+              f"(step {meta.get('step')})", flush=True)
+
     # ADVICE r3: stage 3 is the longest stage — persist + commit the val
     # curve at every validation so a mid-stage-3 VM restart keeps evidence
     os.makedirs(OUT, exist_ok=True)
-    curve_path = os.path.join(OUT, "stage3_val_curve.json")
+    curve_path = os.path.join(OUT, f"{expname}_val_curve.json")
 
     def on_validate(iteration, score):
         try:
@@ -302,7 +332,7 @@ def stage3(reg_root):
         curve[str(iteration)] = round(float(score), 4)
         with open(curve_path, "w") as f:
             json.dump(curve, f, indent=2, sort_keys=True)
-        commit_progress(f"stage3 val@{iteration}: {score:.3f}")
+        commit_progress(f"{expname} val@{iteration}: {score:.3f}")
 
     trainer.on_validate = on_validate
     trainer.train_deadline = _train_deadline()
