@@ -376,7 +376,7 @@ def evaluate(trainer, val_ds, test_scenes):
     4k/6k vs 6.1 final)."""
     from dregnerf_tpu.geometry import se3
     from dregnerf_tpu.io.ply import read_ply
-    from dregnerf_tpu.registration.fgr import run_registration
+    from dregnerf_tpu.registration.pipeline import best_global_registration
 
     eval_ckpt = "final"
     best = trainer.ckpt_manager.best_path
@@ -418,8 +418,8 @@ def evaluate(trainer, val_ds, test_scenes):
             pose, rre, rte = trainer._eval_fn(trainer.params, batch)
             dt_reg = time.time() - t0
 
-            src_pts, _ = read_ply(item["src_ply_path"])
-            tgt_pts, _ = read_ply(item["tgt_ply_path"])
+            src_pts, src_cols = read_ply(item["src_ply_path"])
+            tgt_pts, tgt_cols = read_ply(item["tgt_ply_path"])
 
             row = {
                 "scene": item["scene"], "draw": draw,
@@ -427,7 +427,8 @@ def evaluate(trainer, val_ds, test_scenes):
             }
             t0 = time.time()
             T_icp, icp_rms, icp_cnt = icp_refine(
-                src_pts, tgt_pts, np.asarray(pose), voxel_size=icp_voxel)
+                src_pts, tgt_pts, np.asarray(pose), voxel_size=icp_voxel,
+                src_colors=src_cols, tgt_colors=tgt_cols)
             if T_icp is not None:
                 rre_i, rte_i = _err(T_icp)
                 row.update(RRE_icp=float(rre_i), RTE_icp=float(rte_i),
@@ -435,17 +436,24 @@ def evaluate(trainer, val_ds, test_scenes):
                            icp_time_s=time.time() - t0)
             reg_rows.append(row)
 
-            T, dt_fgr = run_registration(src_pts, tgt_pts)
+            # classical baseline: multi-scale FGR/RANSAC race (GT-free
+            # trimmed-NN winner), then the same color-aware ICP polish
+            t0 = time.time()
+            T, ginfo = best_global_registration(
+                src_pts, tgt_pts, refine=False)
+            dt_fgr = time.time() - t0
             if T is not None:
                 rre_f, rte_f = _err(T)
                 frow = {
                     "scene": item["scene"], "draw": draw,
                     "RRE": float(rre_f), "RTE": float(rte_f),
                     "time_s": dt_fgr,
+                    "winner": ginfo.get("winner"),
                 }
                 T_fi, fi_rms, fi_cnt = icp_refine(
                     src_pts, tgt_pts, np.asarray(T)[:3, :4],
-                    voxel_size=icp_voxel)
+                    voxel_size=icp_voxel,
+                    src_colors=src_cols, tgt_colors=tgt_cols)
                 if T_fi is not None:
                     rre_fi, rte_fi = _err(T_fi)
                     frow.update(RRE_icp=float(rre_fi), RTE_icp=float(rte_fi))

@@ -215,3 +215,53 @@ class TestICP:
             np.zeros((2, 3)), np.ones((2, 3)), np.eye(4)[:3], seed=0
         )
         assert pose is None
+
+    def test_icp_color_breaks_symmetry(self):
+        """A colored sphere is rotation-ambiguous geometrically; color-aware
+        correspondences (measured necessary on fleet sphere scenes) must
+        recover the pose where geometry-only ICP cannot."""
+        from dregnerf_tpu.registration.icp import icp_refine
+
+        rng = np.random.default_rng(7)
+        n = 4000
+        pts = rng.normal(size=(n, 3))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        pts = (pts * 0.5).astype(np.float32)
+        # color varies over the sphere -> unique match signature
+        cols = (np.stack([
+            0.5 + 0.5 * pts[:, 0] / 0.5,
+            0.5 + 0.5 * pts[:, 1] / 0.5,
+            0.5 + 0.5 * pts[:, 2] / 0.5,
+        ], -1)).astype(np.float32)
+        gt = self._pose([25, -15, 30], [0.05, -0.02, 0.03])
+        tgt = pts @ gt[:3, :3].T + gt[:3, 3]
+        init = self._pose([10, 6, -8], [0.01, 0.0, -0.01]) @ gt
+        pose, _, _ = icp_refine(
+            pts, tgt, init[:3, :4], voxel_size=0.05, seed=3,
+            src_colors=cols, tgt_colors=cols,
+        )
+        assert pose is not None
+        rre, _ = se3.pose_error(jnp.asarray(pose), jnp.asarray(gt[:3, :4]))
+        assert float(rre) < 1.0, float(rre)
+
+    def test_icp_never_worsens_init(self):
+        """Multi-start keeps the unrefined init as a candidate: on a cloud
+        where ICP diverges (tiny overlap), the returned pose's trimmed-NN
+        score must be <= the init's."""
+        from dregnerf_tpu.registration.icp import (
+            _prep, icp_refine, score_pose)
+
+        rng = np.random.default_rng(9)
+        src = rng.normal(size=(500, 3)).astype(np.float32)
+        tgt = rng.normal(size=(500, 3)).astype(np.float32) + 5.0
+        init = np.eye(4, dtype=np.float32)[:3]
+        pose, _, _ = icp_refine(src, tgt, init, voxel_size=0.05, seed=1)
+        if pose is None:
+            return  # degenerate path is fine too
+        r = np.random.default_rng(0)
+        s, _, sv = _prep(src, None, 4096, r)
+        t, _, tv = _prep(tgt, None, 4096, r)
+        args = (jnp.asarray(s), jnp.asarray(t), jnp.asarray(sv),
+                jnp.asarray(tv))
+        assert float(score_pose(*args, jnp.asarray(pose))) <= \
+            float(score_pose(*args, jnp.asarray(init))) + 1e-6
