@@ -863,3 +863,40 @@ def test_reg_evaluator_artifacts(pair_root, tmp_path):
         finally:
             trainer.pose_viz.close()
             trainer.pose_viz = None
+
+
+class TestClassicalPipeline:
+    def test_best_global_registration_picks_and_refines(self, rng):
+        """Multi-scale FGR/RANSAC race + ICP polish recovers a large SE(3)
+        on a multi-cluster shell (registration/pipeline.py)."""
+        from scipy.spatial.transform import Rotation as R
+
+        from dregnerf_tpu.geometry import se3
+        from dregnerf_tpu.registration.pipeline import best_global_registration
+
+        sph = rng.normal(size=(1200, 3))
+        sph /= np.linalg.norm(sph, axis=1, keepdims=True)
+        pts = np.vstack([
+            sph * np.array([0.5, 0.3, 0.2]),
+            rng.normal(size=(400, 3)) * 0.05 + np.array([0.45, 0.25, 0.1]),
+            rng.normal(size=(300, 3)) * 0.04 - np.array([0.3, 0.4, 0.05]),
+        ])
+        T = np.eye(4)
+        T[:3, :3] = R.from_euler("xyz", [60, -20, 110], degrees=True).as_matrix()
+        T[:3, 3] = [0.15, -0.2, 0.1]
+        tgt = pts @ T[:3, :3].T + T[:3, 3]
+        est, info = best_global_registration(pts, tgt, voxel_sizes=(0.03, 0.05))
+        assert est is not None, info
+        assert "winner" in info and info["winner"]["score"] is not None
+        rre, rte = se3.pose_error(
+            jnp.asarray(est), jnp.asarray(T[:3, :4], jnp.float32))
+        assert float(rre) < 3.0, (float(rre), info)
+        assert float(rte) < 0.05, (float(rte), info)
+
+    def test_best_global_registration_none_when_degenerate(self):
+        from dregnerf_tpu.registration.pipeline import best_global_registration
+
+        est, info = best_global_registration(
+            np.zeros((5, 3)), np.ones((5, 3)), voxel_sizes=(0.05,))
+        assert est is None
+        assert info["candidates"]
