@@ -69,6 +69,10 @@ def config_parser(argv=None) -> argparse.Namespace:
     parser.add_argument("--position_embedding_scaling", type=float, default=1.0)
     parser.add_argument("--num_downsample", type=int, default=6)
     parser.add_argument("--robust_loss", action="store_true")
+    parser.add_argument("--icp_refine", action="store_true",
+                        help="polish predicted + classical poses with the "
+                             "color-aware multi-start ICP at eval time "
+                             "(reference refine_registration)")
 
     # checkpoints
     parser.add_argument("--ckpt_path", type=str, default="")

@@ -100,27 +100,53 @@ class RegEvaluator:
             except Exception:
                 pass
 
-            # aligned / unaligned point-cloud dumps + FGR baseline
+            # aligned / unaligned point-cloud dumps + classical baseline
             try:
                 src_pts, src_cols = read_ply(item["src_ply_path"])
                 tgt_pts, tgt_cols = read_ply(item["tgt_ply_path"])
+
+                # optional ICP polish of the RegTr pose (--icp_refine;
+                # reference refine_registration, global_registration.py:85)
+                if getattr(self.config, "icp_refine", False):
+                    from dregnerf_tpu.registration.icp import icp_refine
+
+                    t1 = time.time()
+                    refined, icp_rms, icp_cnt = icp_refine(
+                        src_pts, tgt_pts, pose,
+                        voxel_size=2.0 / self.config.grid_resolution * 2,
+                        src_colors=src_cols, tgt_colors=tgt_cols,
+                    )
+                    if refined is not None:
+                        rre_i, rte_i = se3.pose_error(refined, gt)
+                        per_scene[scene].update(
+                            R_error_icp_deg=float(rre_i),
+                            t_error_icp=float(rte_i),
+                            icp_rms=float(icp_rms),
+                            icp_inliers=int(icp_cnt),
+                            icp_time=time.time() - t1,
+                        )
+                        pose = refined  # aligned dumps use the best pose
+
                 aligned = src_pts @ pose[:3, :3].T + pose[:3, 3]
                 write_ply(os.path.join(scene_dir, "src_unaligned.ply"), src_pts, src_cols)
                 write_ply(os.path.join(scene_dir, "src_aligned.ply"), aligned, src_cols)
                 write_ply(os.path.join(scene_dir, "tgt.ply"), tgt_pts, tgt_cols)
 
-                from dregnerf_tpu.registration.fgr import run_registration
+                from dregnerf_tpu.registration.pipeline import (
+                    best_global_registration,
+                )
 
-                fgr_pose, fgr_time = run_registration(src_pts, tgt_pts)
-                if fgr_pose is None:  # sparse clouds: retry finer voxels
-                    fgr_pose, fgr_time = run_registration(
-                        src_pts, tgt_pts, voxel_size=0.02
-                    )
+                fgr_pose, ginfo = best_global_registration(
+                    src_pts, tgt_pts,
+                    src_colors=src_cols, tgt_colors=tgt_cols,
+                    refine=getattr(self.config, "icp_refine", False),
+                )
                 if fgr_pose is not None:
                     frre, frte = se3.pose_error(fgr_pose[:3, :4], gt)
                     fgr_per_scene[scene] = {
                         "R_error_deg": float(frre), "t_error": float(frte),
-                        "time": fgr_time,
+                        "time": ginfo.get("time_s"),
+                        "winner": ginfo.get("winner"),
                     }
             except FileNotFoundError:
                 pass

@@ -799,6 +799,7 @@ def test_reg_evaluator_artifacts(pair_root, tmp_path):
         "--dataset", "objaverse", "--root_dir", root, "--expname", "regev",
         "--out_dir", str(tmp_path), "--no_bf16", "--compilation_cache", "",
         "--position_embedding_dim", "64", "--num_downsample", "3",
+        "--icp_refine",  # exercise the ICP-polish + classical-race path
     ])
     ds = NeRFRegDataset(root, subject_id=scene, split="test", seed=2)
     # shrink the model for CPU
