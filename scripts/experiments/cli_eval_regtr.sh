@@ -10,28 +10,30 @@ cd /root/repo
 export PYTHONPATH=/root/.axon_site:/root/repo
 REG=/tmp/stage3_fleet/regdata
 OUTDIR=/tmp/stage3_fleet/regout
-SCENE="${EVAL_SCENE:-scene_12}"
+SCENE="${EVAL_SCENE:-scene_20}"
+REGEXP="${REG_EXPNAME:-stage3b}"
 
 if [ ! -d "$REG/nerf_models/$SCENE" ]; then
   echo "[cli-eval] no fleet regdata for $SCENE; skipping"; exit 0
 fi
-CKPT="$OUTDIR/stage3/model/model_best.ckpt"
-[ -f "$CKPT" ] || CKPT="$OUTDIR/stage3/model/model.ckpt"
+CKPT="$OUTDIR/$REGEXP/model/model_best.ckpt"
+[ -f "$CKPT" ] || CKPT="$OUTDIR/$REGEXP/model/model.ckpt"
+[ -f "$CKPT" ] || CKPT="$OUTDIR/stage3/model/model_best.ckpt"
 if [ ! -f "$CKPT" ]; then
   echo "[cli-eval] no stage-3 checkpoint; skipping"; exit 0
 fi
 
 DREG_RENDER_VIDEOS=1 python -u eval_nerf_regtr.py --dataset objaverse \
-  --root_dir "$REG" --scene "$SCENE" --expname stage3 --out_dir "$OUTDIR" \
-  --aabb=-1.0,-1.0,-1.0,1.0,1.0,1.0 --robust_loss --ckpt_path "$CKPT"
+  --root_dir "$REG" --scene "$SCENE" --expname "$REGEXP" --out_dir "$OUTDIR" \
+  --aabb=-1.0,-1.0,-1.0,1.0,1.0,1.0 --robust_loss --icp_refine --ckpt_path "$CKPT"
 rc=$?
 
 DST=experiments/stage3/cli_eval
 mkdir -p "$DST"
-cp "$OUTDIR/stage3/eval/metrics_test.json" "$DST/" 2>/dev/null || true
-cp "$OUTDIR/stage3/eval/fgr_metrics_test.json" "$DST/" 2>/dev/null || true
-cp "$OUTDIR/stage3/eval/$SCENE/transformation_est.json" "$DST/" 2>/dev/null || true
-ls -la "$OUTDIR/stage3/eval/$SCENE" > "$DST/artifact_listing_$SCENE.txt" 2>/dev/null || true
+cp "$OUTDIR/$REGEXP/eval/metrics_test.json" "$DST/" 2>/dev/null || true
+cp "$OUTDIR/$REGEXP/eval/fgr_metrics_test.json" "$DST/" 2>/dev/null || true
+cp "$OUTDIR/$REGEXP/eval/$SCENE/transformation_est.json" "$DST/" 2>/dev/null || true
+ls -la "$OUTDIR/$REGEXP/eval/$SCENE" > "$DST/artifact_listing_$SCENE.txt" 2>/dev/null || true
 echo "rc=$rc ckpt=$CKPT scene=$SCENE" > "$DST/run_info.txt"
 git add experiments/stage3/cli_eval
 git commit -q -m "Evidence: eval_nerf_regtr CLI artifacts on fleet-trained checkpoint" \

@@ -29,9 +29,10 @@ def main():
     test_scenes = names[F.N_SCENES - F.N_TEST_SCENES:]
     train_ds = F.merged_dataset(reg_root, train_scenes, "train", seed=3)
     val_ds = F.merged_dataset(reg_root, test_scenes, "test", seed=4)
+    expname = os.environ.get("STAGE3_EXPNAME", "stage3")
     cfg = config_parser([
         "--dataset", "objaverse", "--root_dir", reg_root,
-        "--expname", "stage3", "--out_dir", os.path.join(F.WORK, "regout"),
+        "--expname", expname, "--out_dir", os.path.join(F.WORK, "regout"),
         "--aabb=-1.0,-1.0,-1.0,1.0,1.0,1.0", "--robust_loss",
         "--epochs", "1", "--lr", "1e-4",
     ])
