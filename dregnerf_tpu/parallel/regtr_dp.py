@@ -62,9 +62,31 @@ def make_dp_reg_step(
         rre = jax.lax.pmean(rre, "data")
         rte = jax.lax.pmean(rte, "data")
 
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, {**losses, "total": total, "R_error": rre, "t_error": rte}
+        # Nonfinite-step guard, same as the single-chip step: ONE device's
+        # degenerate draw poisons the pmean'd gradient for everyone —
+        # skip the update and flag it (post-pmean `grads`/`total` are
+        # replicated, so every device takes the same branch; no divergence
+        # across the mesh).
+        leaves = jax.tree_util.tree_leaves(grads)
+        finite = jnp.isfinite(total)
+        for g in leaves:
+            finite = finite & jnp.all(jnp.isfinite(g))
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old), new_params, params
+        )
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old),
+            new_opt_state, opt_state,
+        )
+        return params, opt_state, {
+            **losses, "total": total, "R_error": rre, "t_error": rte,
+            "skipped_nonfinite": (~finite).astype(jnp.float32),
+        }
 
     @jax.jit
     def wrapped(params, opt_state, batch):
