@@ -58,5 +58,7 @@ run 7200 python -u scripts/experiments/layout_gate.py
 export VISFX_ITERS="${VISFX_ITERS:-300}"
 run 5400 python -u scripts/experiments/visibility_effect.py
 run 1800 python -u scripts/perf/probe_regtr_step.py
+run 1800 python -u scripts/perf/probe_render_dispatch.py
+run 1800 python -u scripts/perf/probe_render_parts.py
 run 1800 python -u bench.py
 echo "[queue] DONE ($(date -u +%H:%M:%S))"
