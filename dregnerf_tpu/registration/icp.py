@@ -80,10 +80,14 @@ def icp_core(
             + tgt_sq[None, :],
             0.0,
         )  # [N, M]
-        nn = jnp.argmin(d2, axis=-1)  # [N]
-        nn_d2 = jnp.take_along_axis(d2, nn[:, None], axis=-1)[:, 0]
+        nn = jnp.argmin(d2, axis=-1)  # [N] — selected in combined space
+        # gate on GEOMETRIC distance only: the combined metric grows with
+        # the color weight, so a fixed gate in combined space starves the
+        # inlier set at high lam (measured: 30-79/4096 inliers at lam=0.5)
+        diff = moved - tgt[nn]
+        nn_d2 = jnp.sum(diff * diff, axis=-1)
         w = (
-            (nn_d2 < gate * gate) & src_valid & jnp.isfinite(nn_d2)
+            (nn_d2 < gate * gate) & src_valid & tgt_valid[nn]
         ).astype(jnp.float32)
         new_pose = weighted_rigid_transform(src, tgt[nn], w)
         # a degenerate iteration (<3 inliers) keeps the previous pose
@@ -102,15 +106,16 @@ def icp_core(
     return pose, rms, cnt
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("trim",))
 def score_pose(
     src: jnp.ndarray,
     tgt: jnp.ndarray,
     src_valid: jnp.ndarray,
     tgt_valid: jnp.ndarray,
     pose: jnp.ndarray,
+    trim: float = 0.9,
 ) -> jnp.ndarray:
-    """Common multi-start objective: trimmed (lowest 60%) mean geometric NN
+    """Common multi-start objective: trimmed (lowest `trim` fraction) mean geometric NN
     distance of valid src points under `pose`. Color plays no part here —
     candidates with different feature weights need one comparable metric."""
     src = src.astype(jnp.float32)
@@ -126,7 +131,7 @@ def score_pose(
     nn_d = jnp.sqrt(jnp.min(d2, axis=-1))
     # exclude padded src rows by pushing them past the trim horizon
     nn_d = jnp.where(src_valid, nn_d, jnp.inf)
-    k = max(int(src.shape[0] * 0.6), 1)
+    k = max(int(src.shape[0] * trim), 1)
     low = -jax.lax.top_k(-nn_d, k)[0]
     low = jnp.where(jnp.isfinite(low), low, 0.0)
     denom = jnp.maximum(jnp.minimum(jnp.sum(src_valid), k), 1)
@@ -191,16 +196,20 @@ def icp_refine(
 
     lams = list(color_weights) if src_colors is not None else [0.0]
     cands = [(init_j, jnp.inf, jnp.asarray(0.0))]  # the unrefined init
-    for lam in lams:
-        pose, rms, cnt = icp_core(
-            src_j, tgt_j,
-            jnp.asarray(lam * src_c), jnp.asarray(lam * tgt_c),
-            sv_j, tv_j, init_j,
-            jnp.asarray(3.0 * voxel_size, jnp.float32),
-            jnp.asarray(0.4 * voxel_size, jnp.float32),
-            iters=iters,
-        )
-        cands.append((pose, rms, cnt))
+    # two coarse-gate starts: 3x voxel (reference-like local polish) and
+    # 8x (wide basin — a 16 deg rotation at object radius 0.5 displaces
+    # points ~0.14, past the 3x gate at fleet voxel pitch)
+    for gate0 in (3.0, 8.0):
+        for lam in lams:
+            pose, rms, cnt = icp_core(
+                src_j, tgt_j,
+                jnp.asarray(lam * src_c), jnp.asarray(lam * tgt_c),
+                sv_j, tv_j, init_j,
+                jnp.asarray(gate0 * voxel_size, jnp.float32),
+                jnp.asarray(0.4 * voxel_size, jnp.float32),
+                iters=iters,
+            )
+            cands.append((pose, rms, cnt))
 
     scores = [float(score_pose(src_j, tgt_j, sv_j, tv_j, p))
               for p, _, _ in cands]
