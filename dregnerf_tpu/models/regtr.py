@@ -39,7 +39,7 @@ from dregnerf_tpu.models.transformer import (
 from dregnerf_tpu.ops.voxel_subsample import (
     PointSet,
     hierarchical_subsample,
-    masked_select_first_k,
+    masked_select_strided,
 )
 
 
@@ -152,7 +152,11 @@ class NeRFRegTr(nn.Module):
             rgba = grid[None, ..., 3:7].astype(self.dtype)  # [1, R, R, R, 4]
             feats = fpn(rgba)  # [1, R/2, R/2, R/2, D]
             xyz_flat = grid[..., :3].reshape(-1, 3)
-            idx, valid = masked_select_first_k(mask, self.max_input_points)
+            # strided (spatially uniform) selection: first-k takes a low-x
+            # SLAB when occupied count >> capacity (round-4 fleet: 50-76k
+            # occupied vs 16384) and the two sides' slabs cover different
+            # object regions — a silent registration-quality killer
+            idx, valid = masked_select_strided(mask, self.max_input_points)
             if self.dense_resize:
                 up = trilinear_resize(feats, (r, r, r))[0]  # [R, R, R, D]
                 sel = up.reshape(-1, self.d_model)[idx]

@@ -129,6 +129,28 @@ def hierarchical_subsample(
     return pick(s_all), pick(t_all), level
 
 
+def masked_select_strided(
+    flat_valid: jnp.ndarray, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Spatially-uniform static-shape mask select: indices of ~k True
+    entries spread EVENLY across the True set (every stride-th by mask
+    rank, stride = ceil(count/k)), plus a validity mask.
+
+    `masked_select_first_k` keeps the first k True entries in flat index
+    order — for a voxel grid in ix-major order with count >> k that is a
+    low-x SLAB of the occupied set, and the two registration clouds (in
+    different world frames) end up covering DIFFERENT object regions.
+    Measured on the round-4 fleet blocks (50-76k occupied vs k=16384) this
+    cut token coverage to ~25% slabs per side. With count <= k this is
+    identical to first-k.
+    """
+    count = jnp.sum(flat_valid.astype(jnp.int32))
+    stride = jnp.maximum((count + k - 1) // k, 1)
+    rank = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
+    thinned = flat_valid & (rank % stride == 0)
+    return masked_select_first_k(thinned, k)
+
+
 def masked_select_first_k(
     flat_valid: jnp.ndarray, k: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

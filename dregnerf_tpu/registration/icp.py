@@ -107,6 +107,47 @@ def icp_core(
 
 
 @partial(jax.jit, static_argnames=("trim",))
+def score_pose_feat(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    src_cfeat: jnp.ndarray,
+    tgt_cfeat: jnp.ndarray,
+    src_valid: jnp.ndarray,
+    tgt_valid: jnp.ndarray,
+    pose: jnp.ndarray,
+    trim: float = 0.9,
+) -> jnp.ndarray:
+    """Color-aware trimmed-NN pose score: NN in (xyz, cfeat) joint space,
+    trimmed mean of the JOINT distance. On locally self-similar fleet
+    clouds (sphere/box clusters) geometry-only NN cannot discriminate a
+    136-deg-wrong pose from the right one (measured round 5: all race
+    candidates scored 0.024-0.029 while their GT errors spanned 8-136
+    deg); color mismatch at the NN separates them. cfeat = lam * rgb with
+    the ICP convention (lam ~ 0.5)."""
+    src_f = jnp.concatenate(
+        [src.astype(jnp.float32), src_cfeat.astype(jnp.float32)], axis=-1)
+    tgt_f = jnp.concatenate(
+        [tgt.astype(jnp.float32), tgt_cfeat.astype(jnp.float32)], axis=-1)
+    moved = src_f.at[:, :3].set(
+        src_f[:, :3] @ pose[:3, :3].T + pose[:3, 3])
+    tgt_sq = jnp.where(tgt_valid, jnp.sum(tgt_f * tgt_f, axis=-1), jnp.inf)
+    d2 = jnp.maximum(
+        jnp.sum(moved * moved, axis=-1)[:, None]
+        - 2.0 * (moved @ tgt_f.T)
+        + tgt_sq[None, :],
+        0.0,
+    )
+    nn_d = jnp.sqrt(jnp.min(d2, axis=-1))
+    nn_d = jnp.where(src_valid, nn_d, jnp.inf)
+    count = jnp.sum(src_valid.astype(jnp.int32))
+    k = jnp.maximum((count.astype(jnp.float32) * trim).astype(jnp.int32), 1)
+    sorted_d = jnp.sort(nn_d)
+    keep = jnp.arange(nn_d.shape[0]) < k
+    vals = jnp.where(keep & jnp.isfinite(sorted_d), sorted_d, 0.0)
+    return jnp.sum(vals) / jnp.maximum(jnp.minimum(k, count), 1)
+
+
+@partial(jax.jit, static_argnames=("trim",))
 def score_pose(
     src: jnp.ndarray,
     tgt: jnp.ndarray,
@@ -131,11 +172,16 @@ def score_pose(
     nn_d = jnp.sqrt(jnp.min(d2, axis=-1))
     # exclude padded src rows by pushing them past the trim horizon
     nn_d = jnp.where(src_valid, nn_d, jnp.inf)
-    k = max(int(src.shape[0] * trim), 1)
-    low = -jax.lax.top_k(-nn_d, k)[0]
-    low = jnp.where(jnp.isfinite(low), low, 0.0)
-    denom = jnp.maximum(jnp.minimum(jnp.sum(src_valid), k), 1)
-    return jnp.sum(low) / denom
+    # trim fraction of the VALID count, not the padded capacity — a cloud
+    # with < trim*capacity valid points must still drop its worst 1-trim
+    # tail or partial-overlap robustness vanishes on sparse clouds
+    # (ADVICE r4). k is traced, so rank-indicator weighting replaces top_k.
+    count = jnp.sum(src_valid.astype(jnp.int32))
+    k = jnp.maximum((count.astype(jnp.float32) * trim).astype(jnp.int32), 1)
+    sorted_d = jnp.sort(nn_d)
+    keep = jnp.arange(nn_d.shape[0]) < k
+    vals = jnp.where(keep & jnp.isfinite(sorted_d), sorted_d, 0.0)
+    return jnp.sum(vals) / jnp.maximum(jnp.minimum(k, count), 1)
 
 
 def _prep(points: np.ndarray, colors, n: int, rng: np.random.Generator):
@@ -211,8 +257,17 @@ def icp_refine(
             )
             cands.append((pose, rms, cnt))
 
-    scores = [float(score_pose(src_j, tgt_j, sv_j, tv_j, p))
-              for p, _, _ in cands]
+    # color-aware winner selection when colors exist: geometry-only
+    # trimmed NN cannot separate a stalled slide-on-spheres candidate
+    # from a converged one (round-5 race measurements) — the same joint
+    # (xyz, 0.5*rgb) metric used for global-candidate selection
+    if src_colors is not None:
+        sc_j, tc_j = jnp.asarray(0.5 * src_c), jnp.asarray(0.5 * tgt_c)
+        scores = [float(score_pose_feat(
+            src_j, tgt_j, sc_j, tc_j, sv_j, tv_j, p)) for p, _, _ in cands]
+    else:
+        scores = [float(score_pose(src_j, tgt_j, sv_j, tv_j, p))
+                  for p, _, _ in cands]
     best = int(np.argmin(scores))
     pose, rms, cnt = cands[best]
     if best == 0:

@@ -131,3 +131,38 @@ def lpips_fn():
     if not os.path.exists(path):
         return None
     return _cached_fn(path)
+
+
+def random_feature_weights(seed: int = 0) -> dict:
+    """Deterministic random-feature LPIPS-architecture weights.
+
+    Fallback perceptual metric for hermetic deployments where the true
+    AlexNet+calibration npz cannot exist (zero egress): He-initialized
+    convs on the exact LPIPS(alex) tap architecture, uniform per-channel
+    calibration 1/C per tap. Zhang et al. 2018 (the LPIPS paper, §5)
+    measure that even RANDOM networks under this distance track human
+    perceptual judgments far better than PSNR/SSIM; this is that variant,
+    always reported under its own name (`lpips_rand_alex`), never as
+    `lpips`.
+    """
+    rng = np.random.default_rng(seed)
+    params = {}
+    cin = 3
+    for i, (cout, k, _, _) in enumerate(_ALEX_CONVS):
+        fan_in = k * k * cin
+        params[f"conv{i}"] = {
+            "kernel": jnp.asarray(rng.normal(
+                scale=np.sqrt(2.0 / fan_in), size=(k, k, cin, cout)
+            ).astype(np.float32)),
+            "bias": jnp.zeros((cout,), jnp.float32),
+        }
+        params[f"lin{i}"] = jnp.full((cout,), 1.0 / cout, jnp.float32)
+        cin = cout
+    return params
+
+
+@functools.lru_cache(maxsize=1)
+def lpips_rand_fn(seed: int = 0):
+    """Jitted random-feature perceptual distance (see random_feature_weights)."""
+    params = random_feature_weights(seed)
+    return jax.jit(lambda a, b: lpips_distance(params, a, b))

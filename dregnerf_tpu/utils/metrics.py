@@ -89,3 +89,15 @@ def lpips(img0: np.ndarray, img1: np.ndarray) -> float | None:
     if fn is None:
         return None
     return float(fn(jnp.asarray(img0, jnp.float32), jnp.asarray(img1, jnp.float32)))
+
+
+def lpips_rand(img0: np.ndarray, img1: np.ndarray) -> float:
+    """Random-feature perceptual distance on the LPIPS(alex) architecture
+    (utils/lpips.random_feature_weights): the hermetic fallback column,
+    reported as `lpips_rand_alex` — NOT comparable to published LPIPS
+    values, but a real perceptual metric (Zhang et al. 2018 §5 validate
+    random-network feature distances against human judgments)."""
+    from dregnerf_tpu.utils.lpips import lpips_rand_fn
+
+    fn = lpips_rand_fn()
+    return float(fn(jnp.asarray(img0, jnp.float32), jnp.asarray(img1, jnp.float32)))

@@ -139,6 +139,7 @@ class RegEvaluator:
                 fgr_pose, ginfo = best_global_registration(
                     src_pts, tgt_pts,
                     src_colors=src_cols, tgt_colors=tgt_cols,
+                    icp_voxel=2.0 / self.config.grid_resolution * 2,
                     refine=getattr(self.config, "icp_refine", False),
                 )
                 if fgr_pose is not None:

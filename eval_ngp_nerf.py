@@ -51,7 +51,7 @@ class Evaluator:
             image_dispatch=getattr(self.config, "image_dispatch", "")
             or "scan",
         )
-        psnrs, ssims, lpipss = [], [], []
+        psnrs, ssims, lpipss, lpips_rands = [], [], [], []
         out_dir = os.path.join(self.model_dir, "eval")
         os.makedirs(out_dir, exist_ok=True)
         bg = jnp.ones(3)
@@ -75,6 +75,7 @@ class Evaluator:
             lp = M.lpips(rgb, gt)
             if lp is not None:
                 lpipss.append(lp)
+            lpips_rands.append(M.lpips_rand(rgb, gt))
             try:
                 import imageio.v2 as imageio
 
@@ -88,8 +89,19 @@ class Evaluator:
             "psnr": float(np.mean(psnrs)),
             "ssim": float(np.mean(ssims)),
             "lpips": float(np.mean(lpipss)) if lpipss else None,
+            # hermetic fallback perceptual column (random-feature LPIPS
+            # architecture, utils/lpips.py) — lower is better; NOT
+            # numerically comparable to published LPIPS(alex) values
+            "lpips_rand_alex": float(np.mean(lpips_rands)),
             "num_views": len(psnrs),
         }
+        if not lpipss:
+            result["lpips_note"] = (
+                "true LPIPS needs calibration weights exported by "
+                "scripts/preprocess/export_lpips_weights.py (zero-egress "
+                "image has none); lpips_rand_alex is the documented "
+                "fallback perceptual metric"
+            )
         with open(os.path.join(out_dir, "metrics.json"), "w") as f:
             json.dump(result, f, indent=2)
         print(f"[eval] {self.model_dir}: {result}")

@@ -40,7 +40,11 @@ def main() -> int:
     epochs = max(1, F.REG_ITERS // len(train_ds))
     cfg = config_parser([
         "--dataset", "objaverse", "--root_dir", reg_root,
-        "--expname", "stage3", "--out_dir", os.path.join(F.WORK, "regout"),
+        # honor STAGE3_EXPNAME like stage3_fleet/stage3_eval_only do — a
+        # hardcoded "stage3" would silently load a STALE prior-run ckpt
+        # after an extended (stage3b/...) fleet (ADVICE r4)
+        "--expname", os.environ.get("STAGE3_EXPNAME", "stage3"),
+        "--out_dir", os.path.join(F.WORK, "regout"),
         "--aabb=-1.0,-1.0,-1.0,1.0,1.0,1.0", "--robust_loss",
         "--epochs", str(epochs),
         "--n_tensorboard", "100", "--n_validation", "500",

@@ -15,7 +15,9 @@ set -u
 log=${1:-/tmp/stage3.log}
 deadline=$(( $(date +%s) + ${2:-1800} ))   # give up after 30 min
 
-n0=$(grep -c '^\[stage2\]' "$log" 2>/dev/null || echo 0)
+# grep -c prints 0 (and exits 1) on a log with no matches — an || echo
+# would emit "0\n0" and break the -gt tests below (ADVICE r4)
+n0=$(grep -c '^\[stage2\]' "$log" 2>/dev/null); n0=${n0:-0}
 echo "[boundary-restart] waiting past $n0 stage2 lines in $log"
 while : ; do
   sleep 5
@@ -23,7 +25,7 @@ while : ; do
     echo "[boundary-restart] timed out — no boundary seen; giving up"
     exit 1
   fi
-  n=$(grep -c '^\[stage2\]' "$log" 2>/dev/null || echo 0)
+  n=$(grep -c '^\[stage2\]' "$log" 2>/dev/null); n=${n:-0}
   if [ "$n" -gt "$n0" ]; then
     sleep 2   # let the per-scene artifact copy start/finish if tiny
     pid=$(cat "${log}.pid" 2>/dev/null) || exit 1

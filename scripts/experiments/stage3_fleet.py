@@ -262,6 +262,10 @@ def merged_dataset(reg_root, scenes, split, seed=0):
             ds = one
         else:
             ds.meta.extend(one.meta)
+    # host block cache must cover the whole fleet (2 blocks/scene): at 40+
+    # train scenes the default 64 thrashes and every miss is a 0.5-6 s
+    # torch.load on this single-CPU host
+    ds.cache_blocks = max(64, 2 * len(scenes) + 8)
     return ds
 
 
