@@ -277,6 +277,17 @@ class NeRFRegDataset:
             self._points_jitter(data, "tgt")
             self._rigid_perturb(data)
             self._random_swap(data)
+        else:
+            # eval grids are returned unmodified, so they are device-
+            # cacheable by artifact path. This matters beyond speed: every
+            # host->device upload through the axon tunnel permanently
+            # retains the transfer buffer host-side (probe_upload_leak.py:
+            # 56.01 MB retained per 56 MB upload in ALL modes, incl.
+            # re-uploading the SAME numpy buffer; malloc_trim/gc no-ops),
+            # so repeated val uploads are a host-memory leak — the round-4
+            # stage-3b fleet OOM'd at 130 GB RSS exactly this way.
+            data["src_cache_key"] = src_b["voxel_grid_path"]
+            data["tgt_cache_key"] = tgt_b["voxel_grid_path"]
         return data
 
     # ---------------------------------------------------------- augmentations

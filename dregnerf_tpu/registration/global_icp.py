@@ -32,7 +32,7 @@ from dregnerf_tpu.registration.icp import (
     _prep,
     icp_core,
     icp_refine,
-    score_pose,
+    score_pose_feat,
 )
 
 
@@ -63,7 +63,9 @@ def _coarse_race(src, tgt, src_c, tgt_c, sv, tv, seeds, gate0, gate1,
             src, tgt, src_c, tgt_c, sv, tv, seed_pose, gate0, gate1,
             iters=iters,
         )
-        return pose, score_pose(src, tgt, sv, tv, pose)
+        # joint (xyz, color) selection: geometry-only scores are within
+        # noise of each other on self-similar primitive clusters
+        return pose, score_pose_feat(src, tgt, src_c, tgt_c, sv, tv, pose)
 
     return jax.vmap(one)(seeds)
 

@@ -39,7 +39,7 @@ def best_global_registration(
     tgt_points: np.ndarray,
     src_colors: Optional[np.ndarray] = None,
     tgt_colors: Optional[np.ndarray] = None,
-    voxel_sizes: Tuple[float, ...] = (0.03, 0.05, 0.08),
+    voxel_sizes: Tuple[float, ...] = (0.03, 0.05, 0.08, 0.12),
     refine: bool = True,
     n_points: int = 4096,
     seed: int = 0,
@@ -55,8 +55,9 @@ def best_global_registration(
       * BOTH directions per (method, scale): FGR/RANSAC are direction-
         sensitive — scene_13 had every forward candidate >163 deg while
         the reverse direction registers to ~2 deg;
-      * scale diversity (0.03/0.05/0.08): scene_14 fails at 0.03+0.05 in
-        all four method/direction combos;
+      * scale diversity (0.03/0.05/0.08/0.12): scene_14 fails at
+        0.03+0.05 in all method/direction combos but registers to 5-10 deg
+        at 0.08/0.12 (fgr_debug.json);
       * a light color-aware ICP polish of EVERY candidate before scoring:
         the unpolished joint score can prefer an 9-deg basin over a 2.5-deg
         one (scene_15) — after polish the better basin wins;
@@ -86,6 +87,26 @@ def best_global_registration(
 
     cands = []
     t0 = time.time()
+    # rotation-grid colored-ICP candidate (registration/global_icp.py):
+    # FPFH proposals can be uniformly wrong on sphere-family clouds
+    # (scene_14: all 12 FGR/RANSAC candidates 125-156 deg while the GT
+    # pose scores 0.037 vs their 0.062+ — the metric discriminates, the
+    # PROPOSALS are the gap); 24 octahedral seeds guarantee one within
+    # ~31 deg of any pose.
+    try:
+        from dregnerf_tpu.registration.global_icp import global_colored_icp
+
+        T_g, _ginfo = global_colored_icp(
+            src_points, tgt_points, src_colors, tgt_colors, seed=seed)
+        if T_g is not None:
+            T34 = np.asarray(T_g, np.float32)[:3, :4]
+            s = float(score_pose_feat(
+                src_j, tgt_j, sc_j, tc_j, sv_j, tv_j, jnp.asarray(T34)))
+            cands.append({"method": "gicp", "voxel": None, "dir": "fwd",
+                          "score": round(s, 6), "_T": T34})
+    except Exception as e:  # noqa: BLE001 — one source must not kill the race
+        cands.append({"method": "gicp", "voxel": None, "score": None,
+                      "error": str(e)[:200]})
     for vs in voxel_sizes:
         for name, fn in (("fgr", run_registration),
                          ("ransac", run_ransac_registration)):

@@ -275,6 +275,8 @@ class RegTrainer:
         # pose and two 4x4 matrices once a block is cached on the chip.
         self._dev_cache: "OrderedDict[str, Any]" = OrderedDict()
         self._dev_cache_size = int(getattr(config, "reg_device_cache", 32))
+        self._dev_uploads = 0
+        self._dev_evictions = 0
         self._aug_key = jax.random.PRNGKey(config.seed + 77)
         self._aug_step_fn = None  # built lazily
         self._step_fn = self._make_step_fn()
@@ -393,14 +395,32 @@ class RegTrainer:
         return aug_step
 
     def _to_device_cached(self, item: Dict) -> Dict[str, jnp.ndarray]:
-        """Batch for a `get_raw` item; grids/masks LRU-cached on device."""
+        """Batch for a `get_raw` item; grids/masks LRU-cached on device.
+
+        The cache must be sized to hold EVERY block of the run: each
+        host->device upload through the axon tunnel permanently retains
+        the transfer buffer host-side (probe_upload_leak.py — 56 MB
+        retained per 56 MB grid upload, immune to gc/malloc_trim), so an
+        evicted block re-uploaded later leaks ~61 MB of host RSS every
+        time. The round-4 stage-3b fleet (40 blocks > 32 slots → ~1
+        eviction/iter) was OOM-killed at 130 GB RSS exactly this way."""
         def dev(ckey, grid, mask):
             hit = self._dev_cache.pop(ckey, None)
             if hit is None:
                 hit = (jnp.asarray(grid), jnp.asarray(mask))
+                self._dev_uploads += 1
             self._dev_cache[ckey] = hit
             while len(self._dev_cache) > max(self._dev_cache_size, 1):
                 self._dev_cache.popitem(last=False)
+                self._dev_evictions += 1
+                if self._dev_evictions == 1:
+                    print(
+                        "[reg_trainer] WARNING: device grid cache evicting "
+                        f"(size {self._dev_cache_size}); every re-upload "
+                        "leaks ~61 MB host RSS through the axon tunnel — "
+                        "raise --reg_device_cache to cover all blocks",
+                        flush=True,
+                    )
             return hit
 
         sg, sm = dev(item["src_cache_key"], item["src_grid"], item["src_mask"])
@@ -685,7 +705,14 @@ class RegTrainer:
             for order in orders:
                 if order is not None:
                     self.val_dataset.fixed_order = order
-                batch = self._to_device(self.val_dataset[int(i)])
+                item = self.val_dataset[int(i)]
+                # eval items carry cache keys (grids unaugmented): route
+                # through the device cache — repeated val uploads leak
+                # host RSS through the axon tunnel (see _to_device_cached)
+                if "src_cache_key" in item and self._dev_cache_size > 0:
+                    batch = self._to_device_cached(item)
+                else:
+                    batch = self._to_device(item)
                 pose, rre, rte = self._eval_fn(self.params, batch)
                 if viz_pair is None:
                     viz_pair = (batch, pose)

@@ -62,10 +62,21 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "experiments", "stage3")
 
 # full instant-ngp sizing (2^19 tables, L8F4 default); march/accum from the
-# round-3 trainer defaults unless overridden
+# round-3 trainer defaults unless overridden. STAGE3_LAYOUT picks an
+# alternate encoder layout for NEW blocks (cached blocks keep the layout
+# they were trained with — extraction output format is layout-agnostic);
+# gate with layout_gate.py before flipping.
+_LAYOUTS = {
+    "L8F4": dict(n_levels=8, n_features=4, per_level_scale=2.1),
+    "L4F8": dict(n_levels=4, n_features=8, per_level_scale=5.66),
+}
+_layout = _LAYOUTS[os.environ.get("STAGE3_LAYOUT", "L8F4")]
+_rle = os.environ.get("STAGE3_RLE", "")  # render_step/min_extent, e.g. 0.00169
 NGP_MODEL = NGPConfig(
     grid=PackedGridConfig(
-        grad_accum=os.environ.get("STAGE3_ACCUM", "bf16")
+        grad_accum=os.environ.get("STAGE3_ACCUM", "bf16"),
+        **_layout,
+        **({"rle_step_u": float(_rle)} if _rle else {}),
     )
 )
 MARCH = os.environ.get("STAGE3_MARCH", "capped")
@@ -291,6 +302,13 @@ def stage3(reg_root):
         # 4 held-out scenes: validate on ALL of them — model_best drives
         # the headline eval and a 1-pair subsample is a draw of luck
         "--val_fraction", "1.0",
+        # device grid cache must hold EVERY block (train + val): any
+        # eviction re-upload leaks ~61 MB host RSS per occurrence through
+        # the axon tunnel (probe_upload_leak.py) — the round-4 stage-3b
+        # OOM at 130 GB RSS was 40 blocks thrashing 32 slots. 2 blocks/
+        # scene x N_SCENES + slack; ~61 MB HBM each (5.9 GB at 48 scenes,
+        # v5e has 16 GB).
+        "--reg_device_cache", str(2 * N_SCENES + 8),
     ])
     trainer = RT.RegTrainer(cfg, train_ds, val_ds)
 
@@ -327,16 +345,34 @@ def stage3(reg_root):
     os.makedirs(OUT, exist_ok=True)
     curve_path = os.path.join(OUT, f"{expname}_val_curve.json")
 
+    def _rss_mb() -> float:
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        return round(int(line.split()[1]) / 1024.0, 1)
+        except OSError:
+            pass
+        return -1.0
+
     def on_validate(iteration, score):
         try:
             with open(curve_path) as f:
                 curve = json.load(f)
         except Exception:
             curve = {}
-        curve[str(iteration)] = round(float(score), 4)
+        # VERDICT r5 item 1: prove the leak fix with a committed RSS trace
+        # (flat RSS + zero cache evictions across the whole run)
+        curve[str(iteration)] = {
+            "val_neg_rre": round(float(score), 4),
+            "rss_mb": _rss_mb(),
+            "grid_uploads": trainer._dev_uploads,
+            "grid_evictions": trainer._dev_evictions,
+        }
         with open(curve_path, "w") as f:
             json.dump(curve, f, indent=2, sort_keys=True)
-        commit_progress(f"{expname} val@{iteration}: {score:.3f}")
+        commit_progress(f"{expname} val@{iteration}: {score:.3f} "
+                        f"rss={_rss_mb():.0f}MB")
 
     trainer.on_validate = on_validate
     trainer.train_deadline = _train_deadline()
@@ -417,7 +453,8 @@ def evaluate(trainer, val_ds, test_scenes):
             wd.beat()
             val_ds.fixed_order = order
             item = val_ds[i]
-            batch = trainer._to_device(item)
+            batch = (trainer._to_device_cached(item)
+                     if "src_cache_key" in item else trainer._to_device(item))
             t0 = time.time()
             pose, rre, rte = trainer._eval_fn(trainer.params, batch)
             dt_reg = time.time() - t0
