@@ -46,25 +46,28 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class PackedGridConfig:
-    """Default layout: 8 levels x 4 features (constant capacity L*F = 32,
+    """Default layout: 4 levels x 8 features (constant capacity L*F = 32,
     same parameter budget and resolution span as tcnn's 16x2).
 
     TPU rationale (measured, scripts/perf/probe_encode_width.py +
-    quality_levels.py on v5e): encoding costs one row GATHER per
-    (point, level) and row width up to 128 floats is free, so halving the
-    level count at doubled feature width trades nothing in table bytes but
-    cuts gather rows 2x — full render 11.53 vs 10.18 M samples/s, training
-    1.46x faster to step 1000, and the quality gate holds (fixture val
-    PSNR 32.98 vs 33.13 after 1500 steps, a 0.15 dB delta). The tcnn-parity
-    16x2 layout stays available: PackedGridConfig(n_levels=16, n_features=2,
-    per_level_scale=1.4472692012786865).
+    quality_levels.py + layout_gate.py on v5e): encoding costs one row
+    GATHER per (point, level) and row width up to 128 floats is free, so
+    fewer, wider levels trade nothing in table bytes but cut gather rows
+    (and backward scatter rows) proportionally — full render 14.4 (L4F8)
+    vs 11.5 (L8F4) vs 10.2 (L16F2) M samples/s. The round-5 layout gate at
+    data scale (100 views x 192 px, 2000 steps, full 2^19 tables,
+    experiments/stage3/layout_gate.json) quality-gates the flip: L4F8 val
+    PSNR 33.11-33.24 vs L8F4's 32.52-32.65, surface-voxel extraction
+    90.8k vs 77.3k. Narrower tcnn-like layouts stay available:
+    PackedGridConfig(n_levels=8, n_features=4, per_level_scale=2.1) or the
+    tcnn-parity 16x2 (per_level_scale=1.4472692012786865).
     """
 
-    n_levels: int = 8
-    n_features: int = 4
+    n_levels: int = 4
+    n_features: int = 8
     log2_table_size: int = 19
     base_resolution: int = 16
-    per_level_scale: float = 2.1
+    per_level_scale: float = 5.66
     # table-gradient scatter-add accumulator: "f32" (exact XLA scatter),
     # "bf16" (2.9x faster scatter on v5e — 7.1 vs 20.8 ms per wrapped
     # level, probe_train_bwd.py; tcnn accumulates its hash-table grads in

@@ -130,12 +130,17 @@ def config_parser(argv=None) -> argparse.Namespace:
                         "probe_pallas_scatter.py; 'sorted' keeps exact f32 "
                         "sums); pallas = exact f32 via the bucketed VMEM "
                         "kernel (ops/pallas_scatter.py).")
-    parser.add_argument("--rle_backward", action="store_true",
+    parser.add_argument("--rle_backward", action=argparse.BooleanOptionalAction,
+                        default=True,
                         help="run-length-compress the table-gradient "
                         "scatter at coarse encoder levels (ops/rle.py; "
                         "ray-coherent samples repeat coarse cells, the "
                         "TPU scatter loop is per-row serial). In-graph "
-                        "overflow fallback keeps it exact.")
+                        "overflow fallback keeps it exact. Default on "
+                        "(round-5 layout gate: L4F8_rle 191 s vs L4F8 "
+                        "205 s / 2000 steps at equal-or-better val PSNR); "
+                        "inert for unbounded scenes (nonlinear "
+                        "contraction breaks the run-length model).")
     parser.add_argument("--march_compaction", type=str, default="capped",
                         choices=["compact", "capped", "quota", "rows"],
                         help="training marcher compaction. Default "
