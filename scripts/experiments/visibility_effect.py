@@ -57,8 +57,11 @@ def make_trainer(mode: str, reg_root: str, tag: str):
     val_ds = merged_dataset(reg_root, test_scenes, "test", seed=4)
 
     # the latest converged stage-3 iterate (file, not dir — np.load);
-    # fine-tuning resumes optimizer state from the same artifact
-    base_ckpt = os.path.join(WORK, "regout", "stage3", "model", "model.ckpt")
+    # fine-tuning resumes optimizer state from the same artifact.
+    # Honor STAGE3_EXPNAME (ADVICE r4: a hardcoded "stage3" silently loads
+    # a stale round-4 checkpoint when the fleet ran as stage3b/stage3c).
+    fleet_exp = os.environ.get("STAGE3_EXPNAME", "stage3")
+    base_ckpt = os.path.join(WORK, "regout", fleet_exp, "model", "model.ckpt")
     cfg = config_parser([
         "--dataset", "objaverse", "--root_dir", reg_root,
         "--expname", f"visfx_{tag}",
@@ -70,6 +73,9 @@ def make_trainer(mode: str, reg_root: str, tag: str):
         "--visibility", mode,
         "--ckpt_path", base_ckpt,
         "--vis_max_cameras", "40",
+        # hold EVERY block of the run on device: any eviction re-upload
+        # leaks host RSS through the axon tunnel (rss_leak_probe.json)
+        "--reg_device_cache", str(2 * N_SCENES + 8),
     ])
     trainer = RT.RegTrainer(cfg, train_ds, val_ds)
     trainer.load_checkpoint()
@@ -82,13 +88,27 @@ def make_trainer(mode: str, reg_root: str, tag: str):
 
 def eval_heldout(trainer, val_ds):
     rres, rtes = [], []
+    # deterministic both-order draws (matches the fleet eval), routed
+    # through the device grid cache: the plain _to_device path leaks its
+    # host buffer per upload through the axon tunnel (rss_leak_probe.json)
+    orders = ([(0, 1), (1, 0)] if hasattr(val_ds, "meta")
+              else [None] * N_EVAL_DRAWS)
     for i in range(len(val_ds)):
-        for draw in range(N_EVAL_DRAWS):
-            val_ds.rng = np.random.default_rng(1000 * i + draw)
-            batch = trainer._to_device(val_ds[i])
+        for d, order in enumerate(orders):
+            if order is not None:
+                val_ds.fixed_order = order
+            else:
+                val_ds.rng = np.random.default_rng(1000 * i + d)
+            item = val_ds[i]
+            if "src_cache_key" in item and trainer._dev_cache_size > 0:
+                batch = trainer._to_device_cached(item)
+            else:
+                batch = trainer._to_device(item)
             _, rre, rte = trainer._eval_fn(trainer.params, batch)
             rres.append(float(rre))
             rtes.append(float(rte))
+        if orders[0] is not None:
+            val_ds.fixed_order = None
     return {
         "R_mean": float(np.mean(rres)), "R_med": float(np.median(rres)),
         "R_std": float(np.std(rres)),
@@ -101,8 +121,15 @@ def finetune(trainer, iters: int):
     rng = np.random.default_rng(123)
     n = len(trainer.train_dataset)
     t0 = time.time()
+    # grid mode rides the device-cached get_raw path (in-jit augmentation,
+    # zero per-iter uploads); exact mode needs __getitem__ items (the
+    # exact step loads NeRF contexts per pair) — its per-iter grid upload
+    # leaks host RSS, bounded by FT_ITERS in this short isolated process.
+    use_raw = getattr(trainer, "visibility", "grid") != "exact"
     for it in range(iters):
-        item = trainer.train_dataset[int(rng.integers(n))]
+        idx = int(rng.integers(n))
+        item = (trainer.train_dataset.get_raw(idx)
+                if use_raw else trainer.train_dataset[idx])
         metrics = trainer.train_iteration(item)
         trainer.iteration += 1
         if it % 100 == 0:
