@@ -34,7 +34,7 @@ except Exception:
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from stage3_fleet import merged_dataset, scene_names, commit_progress, OUT  # noqa: E402
+from stage3_fleet import merged_dataset, commit_progress, OUT  # noqa: E402
 
 from dregnerf_tpu.runtime.config import config_parser  # noqa: E402
 from dregnerf_tpu.runtime import reg_trainer as RT  # noqa: E402
@@ -65,7 +65,7 @@ def run_arm(feature_w: float, train_ds, val_ds, reg_root: str) -> dict:
     t0 = time.time()
     for it in range(ITERS):
         item = train_ds.get_raw(it % len(train_ds))
-        trainer.iteration = it
+        trainer.iteration = it  # drives the in-jit augmentation key
         m = trainer.train_iteration(item)
         if it % 100 == 0:
             feats.append(float(m.get("feature", -1.0)))
@@ -90,12 +90,15 @@ def run_arm(feature_w: float, train_ds, val_ds, reg_root: str) -> dict:
 
 def main() -> None:
     reg_root = os.path.join(WORK, "regdata")
-    names = scene_names()
+    # independent of the STAGE3_SCENES env (stage3_fleet.scene_names()
+    # reads it; this script is launched without the fleet's env)
+    names = [f"scene_{i:02d}" for i in range(N_TRAIN + N_TEST)]
     train_scenes = names[:N_TRAIN]
     test_scenes = names[N_TRAIN:N_TRAIN + N_TEST]
     # only scenes whose extracted artifacts exist (fleet may have stopped
-    # early at the train deadline)
-    have = set(os.listdir(reg_root)) if os.path.isdir(reg_root) else set()
+    # early at the train deadline); scenes live under regdata/nerf_models/
+    models_dir = os.path.join(reg_root, "nerf_models")
+    have = set(os.listdir(models_dir)) if os.path.isdir(models_dir) else set()
     train_scenes = [s for s in train_scenes if s in have]
     test_scenes = [s for s in test_scenes if s in have]
     if len(train_scenes) < 4 or len(test_scenes) < 2:
