@@ -426,6 +426,14 @@ def evaluate(trainer, val_ds, test_scenes):
         state, meta = load_checkpoint(best, {"params": trainer.params})
         trainer.params = state["params"]
         eval_ckpt = f"best@{int(meta.get('step', -1))}"
+    elif not os.path.exists(trainer.ckpt_manager.latest_path):
+        # No checkpoint at all: stage 3 never trained (e.g. a supervisor
+        # restart landed after the wall-clock train deadline, so train()
+        # returned at iteration 0). Evaluating random params here would
+        # overwrite the committed held-out metrics with garbage.
+        print("[eval] no stage-3 checkpoint — skipping held-out eval",
+              flush=True)
+        return
     print(f"[eval] checkpoint: {eval_ckpt}", flush=True)
 
     os.makedirs(OUT, exist_ok=True)
